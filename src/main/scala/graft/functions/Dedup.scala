@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication primitives for training-data pipelines: exact keys,
+  * word-shingles, MinHash signatures + LSH banding, SimHash. All pure
+  * `Column` compositions over built-ins (xxhash64, transform, aggregate) —
+  * codegen'd, shuffle-free until the final groupBy/join, so the fan-out to
+  * 100 TB is a single scan + one shuffle on band buckets.
+  */
+object Dedup {
+
+  /** Exact-dedup key: xxhash64 of the normalized text (lower, collapsed
+    * whitespace). Collision-safe enough for candidate generation; final
+    * equality should re-check the normalized text.
+    */
+  def normalizedText(text: Column): Column =
+    regexp_replace(lower(trim(coalesce(text, lit("")))), "\\s+", " ")
+
+  /** k-word shingles as strings; shorter docs yield one whole-doc shingle. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = TextMetrics.tokens(text)
+    val n = size(toks)
+    when(n <= k, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(1), n - k + 1),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+  }
+
+  /** MinHash signature: for seed s in [0, numHashes), min over shingles of
+    * xxhash64(shingle, s). Empty shingle set -> all Long.MaxValue.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val sigs = (0 until numHashes).map { s =>
+      coalesce(
+        array_min(transform(shingleCol, sh => xxhash64(sh, lit(s)))),
+        lit(Long.MaxValue))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band hashes: split the signature into `bands` rows of length
+    * `rowsPerBand`, hash each band. Two docs sharing ANY band hash are
+    * near-dup candidates.
+    */
+  def lshBandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand), lit(b))
+    }
+    array(bandHashes: _*)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per token t, take xxhash64(t);
+    * each bit votes +1/-1; the sign of each bit-sum forms the fingerprint.
+    * Single `aggregate` pass with a 64-long vote vector.
+    */
+  def simhash64(text: Column): Column =
+    aggregate(
+      TextMetrics.tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val bitVotes = array((0 until 64).map { j =>
+          when(shiftright(h, j).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))
+        }: _*)
+        zip_with(acc, bitVotes, (a, b) => a + b)
+      },
+      // finish: fold the 64 vote counters into sign bits. `votes` is a bound
+      // lambda variable, so the 64 element_at reads don't duplicate work.
+      votes => (0 until 64).map { j =>
+        when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    )
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast(LongType)
+
+  /** MinHash-LSH near-duplicate candidate pairs over (idCol, textCol).
+    * One scan to build signatures, one shuffle on band hash, pair emit
+    * within buckets (idA < idB). Returns (id_a, id_b, n_shared_bands).
+    */
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      lshBandHashes(
+        minhashSignature(wordShingles(col(textCol), shingleK), numHashes),
+        bands, rowsPerBand).as("band_hashes"))
+    val exploded = sig.select(col("id"),
+      posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+}

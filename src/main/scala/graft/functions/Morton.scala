@@ -1,0 +1,44 @@
+package graft.functions
+
+/** Bit-interleaving (Morton / Z-order) helpers.
+  *
+  * `interleave(a, b)` produces the 64-bit Z-order key of two unsigned 32-bit
+  * values: bit i of `a` lands at position 2i+1, bit i of `b` at position 2i.
+  * Standard magic-number bit spreading — 6 ops per operand, branch-free, so
+  * the generated code stays inside whole-stage codegen as a static call.
+  *
+  * Used as the clustering key of the lakehouse maintenance engine
+  * (north rule: "Z-order/Hilbert clustering on (conv_id, turn_idx) via
+  * 64-bit key interleave").
+  */
+object Morton {
+
+  /** Spread the low 32 bits of `v` so bit i moves to bit 2i. */
+  def spread(v: Int): Long = {
+    var x = v.toLong & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8))  & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4))  & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2))  & 0x3333333333333333L
+    x = (x | (x << 1))  & 0x5555555555555555L
+    x
+  }
+
+  /** 64-bit Z-order key of (a, b); a's bits occupy the odd (higher)
+    * positions so `a` dominates the ordering.
+    */
+  def interleave(a: Int, b: Int): Long = (spread(a) << 1) | spread(b)
+
+  /** Inverse of [[spread]]: compact even-position bits back to an Int. */
+  def compact(x0: Long): Int = {
+    var x = x0 & 0x5555555555555555L
+    x = (x | (x >>> 1))  & 0x3333333333333333L
+    x = (x | (x >>> 2))  & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >>> 4))  & 0x00FF00FF00FF00FFL
+    x = (x | (x >>> 8))  & 0x0000FFFF0000FFFFL
+    x = (x | (x >>> 16)) & 0x00000000FFFFFFFFL
+    x.toInt
+  }
+
+  def deinterleave(z: Long): (Int, Int) = (compact(z >>> 1), compact(z))
+}

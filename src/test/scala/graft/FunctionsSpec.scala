@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+class MortonSpec extends AnyFunSuite {
+  private val rnd = new scala.util.Random(42) // seeded: deterministic
+
+  test("interleave/deinterleave roundtrip (seeded property)") {
+    (1 to 2000).foreach { _ =>
+      val (a, b) = (rnd.nextInt(), rnd.nextInt())
+      assert(Morton.deinterleave(Morton.interleave(a, b)) == ((a, b)))
+    }
+  }
+
+  test("a-bits dominate ordering for non-negative keys") {
+    (1 to 2000).foreach { _ =>
+      val x1 = rnd.nextInt(1 << 16); val x2 = rnd.nextInt(1 << 16)
+      val y = rnd.nextInt(1 << 16)
+      if (x1 < x2)
+        assert(Morton.interleave(x1, y) < Morton.interleave(x2, y))
+    }
+  }
+
+  test("known values") {
+    assert(Morton.interleave(0, 0) == 0L)
+    assert(Morton.interleave(0, 1) == 1L)
+    assert(Morton.interleave(1, 0) == 2L)
+    assert(Morton.interleave(1, 1) == 3L)
+    assert(Morton.interleave(2, 0) == 8L)
+  }
+
+  test("ZOrder64 expression: interpreted and codegen paths match Morton") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((3, 5), (0, 0), (123456, 789), (-1, 7)).toDF("a", "b")
+    val got = df.select(ZOrder.zorder64(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == Seq(
+      Morton.interleave(3, 5), Morton.interleave(0, 0),
+      Morton.interleave(123456, 789), Morton.interleave(-1, 7)))
+  }
+
+  test("convOrderKey is monotonic over synthetic conv ids") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ids = Seq("c00000001", "c00000002", "c00099999", "c01000000")
+    val keys = ids.toDF("conv_id")
+      .select(ZOrder.convOrderKey(col("conv_id"))).as[Int].collect()
+    assert(keys.toSeq == keys.sorted.toSeq)
+    // lexicographic fallback for non-digit ids
+    val lex = Seq("aaaa", "aaab", "abzz", "zzzz").toDF("conv_id")
+      .select(ZOrder.convOrderKey(col("conv_id"))).as[Int].collect()
+    assert(lex.toSeq == lex.sorted.toSeq)
+  }
+}
+
+class TextMetricsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("tokenCount / wordHits / langId") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat sat on the mat",
+      "le chat et la table pour dans",
+      "",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(
+      TextMetrics.tokenCount(col("text")).as("n"),
+      TextMetrics.langId(col("text")).as("lang")).collect()
+    assert(got(0).getInt(0) == 6 && got(0).getString(1) == "en")
+    assert(got(1).getString(1) == "fr")
+    assert(got(2).getInt(0) == 0 && got(2).getString(1) == "und")
+    assert(got(3).getString(1) == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val got = Seq("ab", "ba", "ab", "").toDF("t")
+      .select(TextMetrics.fingerprint(col("t"))).as[Long].collect()
+    assert(got(0) == got(2))
+    assert(got(0) != got(1)) // order matters
+    assert(got(3) == 0L)
+    // weights are (i%31)+1 with 1-based i: "ab" = 'a'*2 + 'b'*3
+    assert(got(0) == 97L * 2 + 98L * 3)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("minhash candidate pairs find near-duplicates, not unrelated docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different content about spark clustering and manifests here"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical texts equal, near texts close, far texts far") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"),
+    ).toDF("id", "text").select(col("id"), Dedup.simhash64(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  test("shingles: first-seen order, short docs give whole-doc shingle") {
+    import spark.implicits._
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.wordShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+}
+
+class VectorOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cosine: orthogonal=0, identical=1") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f)),
+      (Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    val got = df.select(VectorOps.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0)) < 1e-9)
+    assert(math.abs(got(1) - 1.0) < 1e-9)
+    assert(got(2) == 0.0)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0f, 0.9f, 0.1f))).toDF("id", "v")
+    val top = VectorOps.bruteForceTopK(vecs, vecs, "id", "v", 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    assert(top(1L) == 2L && top(2L) == 1L && top(3L) == 4L && top(4L) == 3L)
+  }
+}
