@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sanitize
+import graft.lake.LakeTable
+import graft.maintain.{Clustering, Compaction, MergeInto}
+
+/** Deterministic lakehouse fixture for the driver-oracle queries: the
+  * `events` test table is transcript-ized (same derivation is expressed in
+  * the DuckDB oracle SQL), loaded into a lake table, then maintained:
+  * load -> compact -> cluster -> MERGE (error-turn corrections) -> cluster.
+  * Snapshot ids are pinned before/after the merge so oracle queries can
+  * check snapshot isolation. Built once per (JVM, sfDir).
+  */
+object LakeFixtures {
+
+  final case class Fixture(table: LakeTable, preMergeSnapshot: Long)
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Fixture]
+
+  /** The transcript-ization of `events` — keep in lockstep with
+    * [[SparkEntry.transcriptOracleSql]].
+    */
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val turn = (row_number().over(w) - 1).cast("int")
+    e.select(
+      concat(lit("u"), lpad(col("user_id").cast("string"), 6, "0")).as("conv_id"),
+      turn.as("turn_idx"),
+      element_at(typedLit(Seq("user", "assistant", "tool")),
+        pmod(turn, lit(3)).cast("int") + 1).as("role"),
+      Sanitize.sanitizeCell(
+        when(col("event_type") === "error", concat(lit("=ALERT "), col("props")))
+          .otherwise(col("props"))).as("text"),
+      when(pmod(turn, lit(3)) === 2, col("event_type")).otherwise(lit(null).cast("string")).as("tool"),
+      col("ts"))
+  }
+
+  /** Staged correction drop: every error event's turn gets corrected text.
+    * `_seq` = event order; role/tool left empty (must NOT clobber).
+    */
+  def correctionDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val turn = (row_number().over(w) - 1).cast("int")
+    e.select(
+      concat(lit("u"), lpad(col("user_id").cast("string"), 6, "0")).as("conv_id"),
+      turn.cast("string").as("turn_idx"),
+      lit("").as("role"),
+      when(col("event_type") === "error", concat(lit("corrected "), col("props")))
+        .otherwise(lit("")).as("text"),
+      lit("").as("tool"),
+      col("event_id").as("_seq"))
+      .where(col("text") =!= "")
+  }
+
+  def forDir(spark: SparkSession, sfDir: String): Fixture = cache.getOrElseUpdate(sfDir, {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = Paths.get("target", "lakeq", tag).toString
+    LakeTable.deleteRecursively(Paths.get(root))
+
+    val t = LakeTable.create(spark, root,
+      org.apache.spark.sql.types.StructType(graft.synth.TranscriptSynth.schema))
+    t.append(transcripts(spark, sfDir).repartition(16), s"load-$tag")
+    Compaction.compact(t, s"compact-$tag", smallFileBytes = 8L << 20, targetBytes = 64L << 20)
+    Clustering.cluster(t, s"cluster1-$tag", targetFileRows = 4000)
+    val pre = t.currentSnapshotId.get
+    MergeInto.merge(t, correctionDrop(spark, sfDir), s"merge-$tag", targetFileRows = 4000)
+    Clustering.cluster(t, s"cluster2-$tag", targetFileRows = 4000)
+    Fixture(t, pre)
+  })
+}

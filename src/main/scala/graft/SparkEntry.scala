@@ -1,13 +1,443 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Sanitize, TextMetrics, VectorOps, ZOrder}
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data-pipeline operators), each with a
+  * DuckDB-checkable `oracleSql` twin where ANSI SQL can express it.
+  *
+  * Determinism rules used throughout:
+  *   - money/quantity aggregates in exact integer cents
+  *     (`CAST(round(x*100) AS BIGINT)`), never floating sums;
+  *   - DuckDB `sum(BIGINT)` returns HUGEINT -> every oracle aggregate is
+  *     explicitly CAST back to BIGINT;
+  *   - every result ORDER BY a unique key in both engines;
+  *   - float outputs only where rounded (cosine, 3 decimals).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val cents: Column => Column = c => round(c * 100).cast("long")
+
+  /** Flagship: the full lakehouse pipeline scan on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q19_lake_scan")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // text analysis helpers shared by q10-q12 (exact-arithmetic versions
+  // whose semantics are reproducible in ANSI SQL)
+  // ------------------------------------------------------------------
+
+  /** Tokens of single-space-joined text: length-difference arithmetic (the
+    * oracle-parity version of TextMetrics.tokenCount for this corpus).
+    */
+  private def tokCount(c: Column): Column =
+    when(length(c) === 0, 0L)
+      .otherwise(length(c) - length(regexp_replace(c, " ", "")) + 1L).cast("long")
+
+  private def tokCountSql(c: String): String =
+    s"CASE WHEN length($c)=0 THEN 0 ELSE length($c) - length(replace($c,' ','')) + 1 END"
+
+  /** Occurrences of word `w` in text (space-padded containment count). */
+  private def hits(c: Column, w: String): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    val kw = s" $w "
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(kw), "")))
+      .cast("double") / kw.length
+  }
+
+  private def hitsSql(c: String, w: String): String = {
+    val kw = s" $w "
+    s"(length(' ' || $c || ' ') - length(replace(' ' || $c || ' ', '$kw', ''))) / ${kw.length}.0"
+  }
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- relational core over the TPC-H-ish tables --------------------
+    "q01_agg_filter" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") < to_timestamp(lit("1996-01-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+        .limit(20)),
+
+    "q03_join_agg" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .orderBy("n_name")
+    }),
+
+    "q04_window" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q05_anti_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val err = e.where(col("event_type") === "error").select("user_id").distinct()
+      val buy = e.where(col("event_type") === "purchase").select("user_id").distinct()
+      err.join(buy, Seq("user_id"), "left_anti").orderBy("user_id")
+    }),
+
+    "q06_sort_limit" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), col("event_type"), cents(col("value")).as("value_cents"))
+        .orderBy(col("event_id"))
+        .limit(100)),
+
+    // --- the reference's merge semantics as a query (A1) --------------
+    "q07_merge_nonempty" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("p", when(col("event_type") =!= "view", col("props")))
+      e.groupBy(col("user_id"))
+        .agg(
+          graft.ingest.Grouping.lastNonNullWins(col("p"), col("event_id")).as("merged_props"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // --- deduplication -------------------------------------------------
+    "q08_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")),
+
+    "q09_dedup_prefix" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(substring(col("text"), 1, 40).as("prefix_key"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_near"))
+        .where(col("n_near") > 1)
+        .select("keeper_id", "n_near")
+        .orderBy("keeper_id")),
+
+    // --- text analysis --------------------------------------------------
+    "q10_token_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokCount(col("text"))).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("lang")),
+
+    "q11_quality_filter" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          tokCount(col("text")).as("n_tokens"))
+        .where(col("n_chars") < 120 || col("n_tokens") < 24)
+        .orderBy("doc_id")),
+
+    "q12_langid" -> ((s, d) => {
+      val text = col("text")
+      val en = hits(text, "the") + hits(text, "a") + hits(text, "of")
+      val fr = hits(text, "le") + hits(text, "la") + hits(text, "et")
+      val de = hits(text, "der") + hits(text, "und") + hits(text, "ein")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(en >= fr && en >= de && en > 0, "en")
+            .when(fr >= de && fr > 0, "fr")
+            .when(de > 0, "de")
+            .otherwise("und").as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // prefix(256) fingerprint: DuckDB 1.0 generate_series takes only
+    // constant bounds, so the oracle joins a constant 1..256 position table
+    "q13_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextMetrics.fingerprint(substring(col("text"), 1, 256)).as("fp"))
+        .orderBy("doc_id")),
+
+    "q14_jaccard_pairs" -> ((s, d) => {
+      val words = t(s, d, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w")).distinct()
+      val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = words.as("a").join(words.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
+        .where(col("inter") >= 15)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // --- near-dup sketches (no ANSI-SQL twin: xxhash64-based) ----------
+    "q15_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 2000), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    "q16_simhash" -> ((s, d) =>
+      t(s, d, "documents").where(col("doc_id") < 2000)
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // --- embedding similarity ------------------------------------------
+    "q17_cosine_pairs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+        .where(col("a.vec_id") < 50)
+        .select(col("a.vec_id").as("vec_id"),
+          round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 3).as("cos_next"))
+        .orderBy("vec_id")
+    }),
+
+    "q18_ann_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      VectorOps.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("cand_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q18b_ann_lsh" -> ((s, d) =>
+      VectorOps.lshBucketTopK(
+        t(s, d, "embeddings").where(col("vec_id") < 2000), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("cand_id"))
+        .orderBy("query_id", "rank")),
+
+    // --- the lakehouse maintenance engine (fixture: load -> compact ->
+    // cluster -> MERGE error-corrections -> cluster; see LakeFixtures) ---
+    "q19_lake_scan" -> ((s, d) => {
+      val f = LakeFixtures.forDir(s, d)
+      f.table.scan().df
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    "q20_lake_snapshot_isolation" -> ((s, d) => {
+      val f = LakeFixtures.forDir(s, d)
+      f.table.scan(snapshotId = Some(f.preMergeSnapshot)).df
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    "q21_lake_pruned_scan" -> ((s, d) => {
+      val f = LakeFixtures.forDir(s, d)
+      f.table.scan(convRange = Some(("u000010", "u000019"))).df
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // --- adaptive CSV ingest (dialect detect + vertical transpose) ------
+    "q22_vertical_ingest" -> ((s, d) => {
+      val content = IngestFixtures.verticalKvCsv(s, d)
+      val res = graft.ingest.Ingest.parseContent(s, content)
+      res.records
+        .select(col("event_id"), col("etype"), col("note"))
+        .orderBy("event_id")
+    }),
+
+    "q23_dialect_ingest" -> ((s, d) => {
+      val content = IngestFixtures.semicolonCsv(s, d)
+      val res = graft.ingest.Ingest.parseContent(s, content)
+      res.records
+        .select(col("event_id"), col("etype"), col("note"))
+        .orderBy("event_id")
+    }),
+
+    // --- sanitization as a standalone projection ------------------------
+    "q24_sanitize" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          Sanitize.sanitizeCell(
+            when(col("event_type") === "error", concat(lit("=cmd "), col("props")))
+              .otherwise(col("props"))).as("clean_text"))
+        .orderBy("event_id")
+        .limit(500)),
+
+    // --- zorder key as a query (library surface; no SQL twin) -----------
+    "q25_zorder_key" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          ZOrder.zorder64(pmod(col("user_id"), lit(1024)).cast("int"),
+            pmod(col("event_id"), lit(1024)).cast("int")).as("zkey"))
+        .orderBy("event_id")
+        .limit(1000)),
+  )
+
+  /** The transcript-ization of events, shared by the lake oracle SQL.
+    * `corrected`: post-merge text (error turns corrected) vs pre-merge.
+    */
+  private def transcriptSql(corrected: Boolean, extra: String = ""): String = {
+    val textExpr =
+      if (corrected) "CASE WHEN event_type = 'error' THEN 'corrected ' || props ELSE props END"
+      else "CASE WHEN event_type = 'error' THEN '''=ALERT ' || props ELSE props END"
+    s"""WITH tr AS (
+       |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+       |         event_type, props, ts
+       |  FROM events)
+       |SELECT conv_id, turn_idx,
+       |       CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       |       $textExpr AS text,
+       |       CASE WHEN turn_idx % 3 = 2 THEN event_type END AS tool,
+       |       epoch_us(ts) AS ts_us
+       |FROM tr $extra ORDER BY conv_id, turn_idx""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_filter" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q02_topk" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q04_window" ->
+      """SELECT o_custkey, rn, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT DISTINCT user_id FROM events e1 WHERE event_type = 'error'
+        |AND NOT EXISTS (SELECT 1 FROM events e2
+        |  WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase')
+        |ORDER BY user_id""".stripMargin,
+
+    "q06_sort_limit" ->
+      """SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "q07_merge_nonempty" ->
+      """SELECT user_id,
+        |  arg_max(props, event_id) FILTER (WHERE event_type <> 'view') AS merged_props,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q08_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    "q09_dedup_prefix" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS n_near
+        |FROM documents GROUP BY substring(text, 1, 40)
+        |HAVING count(*) > 1 ORDER BY keeper_id""".stripMargin,
+
+    "q10_token_stats" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(${tokCountSql("text")}) AS BIGINT) AS total_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q11_quality_filter" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(${tokCountSql("text")} AS BIGINT) AS n_tokens
+         |FROM documents
+         |WHERE length(text) < 120 OR ${tokCountSql("text")} < 24
+         |ORDER BY doc_id""".stripMargin,
+
+    "q12_langid" -> {
+      def h(w: String) = hitsSql("text", w)
+      s"""SELECT doc_id,
+         |  CASE WHEN (${h("the")}+${h("a")}+${h("of")}) >= (${h("le")}+${h("la")}+${h("et")})
+         |        AND (${h("the")}+${h("a")}+${h("of")}) >= (${h("der")}+${h("und")}+${h("ein")})
+         |        AND (${h("the")}+${h("a")}+${h("of")}) > 0 THEN 'en'
+         |       WHEN (${h("le")}+${h("la")}+${h("et")}) >= (${h("der")}+${h("und")}+${h("ein")})
+         |        AND (${h("le")}+${h("la")}+${h("et")}) > 0 THEN 'fr'
+         |       WHEN (${h("der")}+${h("und")}+${h("ein")}) > 0 THEN 'de'
+         |       ELSE 'und' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q13_fingerprint" ->
+      """WITH pos AS (SELECT i FROM generate_series(1, 256) AS g(i))
+        |SELECT d.doc_id, CAST(sum(ascii(substring(d.text, p.i, 1)) * ((p.i % 31) + 1)) AS BIGINT) AS fp
+        |FROM documents d JOIN pos p ON p.i <= least(length(d.text), 256)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q14_jaccard_pairs" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 100),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+        |  CAST(sa.n + sb.n - i AS BIGINT) AS uni
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE i >= 15 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q17_cosine_pairs" ->
+      """WITH pos AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+        |dots AS (
+        |  SELECT a.vec_id,
+        |    sum(list_extract(a.embedding, p.i) * list_extract(b.embedding, p.i)) AS ab,
+        |    sum(list_extract(a.embedding, p.i) * list_extract(a.embedding, p.i)) AS aa,
+        |    sum(list_extract(b.embedding, p.i) * list_extract(b.embedding, p.i)) AS bb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+        |  CROSS JOIN pos p WHERE a.vec_id < 50 GROUP BY a.vec_id)
+        |SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 3) AS cos_next
+        |FROM dots ORDER BY vec_id""".stripMargin,
+
+    "q19_lake_scan" -> transcriptSql(corrected = true),
+    "q20_lake_snapshot_isolation" -> transcriptSql(corrected = false),
+    "q21_lake_pruned_scan" ->
+      """WITH tr AS (
+        |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+        |         event_type, props
+        |  FROM events)
+        |SELECT conv_id, turn_idx,
+        |  CASE WHEN event_type = 'error' THEN 'corrected ' || props ELSE props END AS text
+        |FROM tr WHERE conv_id BETWEEN 'u000010' AND 'u000019'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q22_vertical_ingest" -> IngestFixtures.verticalOracleSql,
+    "q23_dialect_ingest" -> IngestFixtures.semicolonOracleSql,
+
+    "q24_sanitize" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'error' THEN '''=cmd ' || props ELSE props END AS clean_text
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+  )
 }

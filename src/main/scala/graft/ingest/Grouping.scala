@@ -29,6 +29,14 @@ object Grouping {
       min(struct(ord.as("o"), c.as("v"))).getField("v"))
   }
 
+  /** Typed-column variant: null never clobbers, but "" has no meaning for
+    * non-string types (comparing ts/int to "" would ANSI-error).
+    */
+  def lastNonNullWins(c: Column, ord: Column): Column =
+    coalesce(
+      max(when(c.isNotNull, struct(ord.as("o"), c.as("v")))).getField("v"),
+      min(struct(ord.as("o"), c.as("v"))).getField("v"))
+
   /** Merge `df` records sharing `idField` (all-string columns), preserving
     * reference position semantics. `ordCol` must be a strictly increasing
     * record order (e.g. line number within the drop).

@@ -1,0 +1,89 @@
+package graft.maintain
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+import graft.lake.{DataFile, LakeTable, Snapshot}
+
+/** Bin-packing small-file compaction: files below `smallFileBytes` are
+  * packed first-fit-decreasing into ~targetBytes bins; each bin is read,
+  * re-sorted on the cluster key and rewritten as ONE file — a pure
+  * coalesce, NO shuffle (the expensive global ordering work belongs to
+  * [[Clustering]], not here). Each bin checkpoints to the ledger, so a
+  * restarted job skips finished bins.
+  */
+object Compaction {
+
+  final case class Result(snapshot: Option[Snapshot], bins: Int, resumedBins: Int,
+                          filesCompacted: Int)
+
+  def compact(table: LakeTable, jobId: String,
+              smallFileBytes: Long = 32L << 20,
+              targetBytes: Long = 128L << 20): Result = {
+    val spark = table.spark
+
+    table.allSnapshots.find(_.summary.get("job_id").contains(jobId)).foreach { s =>
+      return Result(Some(s), 0, 0, 0)
+    }
+
+    val plannedBins = Ledger.readPlan(table, jobId) match {
+      case Some(p) =>
+        require(table.currentSnapshotId.contains(p.baseSnapshotId),
+          s"stale compaction plan for $jobId (base ${p.baseSnapshotId})")
+        p.groups
+      case None =>
+        val small = table.currentFiles.filter(_.bytes < smallFileBytes)
+        val bins = firstFitDecreasing(small, targetBytes)
+          .filter(_.size > 1) // a lone small file gains nothing from rewrite
+          .map(_.map(_.path))
+        Ledger.writePlan(table, jobId, table.currentSnapshotId.get, bins)
+        bins
+    }
+
+    if (plannedBins.isEmpty) return Result(None, 0, 0, 0)
+
+    val byPath = table.currentFiles.map(f => f.path -> f).toMap
+    val done = Ledger.readTasks(table, jobId).filter(_._2.state == "done")
+    var resumed = 0
+
+    val outputs = plannedBins.zipWithIndex.map { case (paths, bi) =>
+      done.get(bi) match {
+        case Some(t) => resumed += 1; t.outFiles
+        case None =>
+          val t0 = System.nanoTime()
+          val inFiles = paths.map(byPath(_))
+          val df = spark.read.schema(table.schema.toStruct)
+            .parquet(paths.map(table.absData): _*)
+            .coalesce(1) // merge partitions without shuffling
+            .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+          val out = table.writeDataFiles(df, s"$jobId-b$bi")
+          Ledger.writeTask(table, Ledger.TaskRow(jobId, bi, "done", paths, out,
+            inFiles.map(_.rows).sum, inFiles.map(_.bytes).sum,
+            (System.nanoTime() - t0) / 1000000))
+          out
+      }
+    }
+
+    val inputSet = plannedBins.flatten.toSet
+    val carried = table.currentFiles.filterNot(f => inputSet(f.path))
+    val snap = table.commit(carried ++ outputs.flatten, "compact",
+      summary = Map("job_id" -> jobId,
+        "bins" -> plannedBins.size.toString,
+        "files_compacted" -> inputSet.size.toString))
+    Result(Some(snap), plannedBins.size, resumed, inputSet.size)
+  }
+
+  /** Classic FFD: sort descending by size, place each file into the first
+    * bin with room, open a new bin otherwise.
+    */
+  def firstFitDecreasing(files: Vector[DataFile], targetBytes: Long): Vector[Vector[DataFile]] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, scala.collection.mutable.ArrayBuffer[DataFile])]
+    files.sortBy(-_.bytes).foreach { f =>
+      bins.indexWhere(_._1 + f.bytes <= targetBytes) match {
+        case -1 => bins += ((f.bytes, scala.collection.mutable.ArrayBuffer(f)))
+        case i => val (sz, buf) = bins(i); buf += f; bins(i) = (sz + f.bytes, buf)
+      }
+    }
+    bins.map(_._2.toVector).toVector
+  }
+}

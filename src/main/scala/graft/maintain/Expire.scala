@@ -1,0 +1,82 @@
+package graft.maintain
+
+import java.nio.file.{Files, Paths}
+
+import graft.lake.LakeTable
+
+/** Snapshot expiry + physical GC — the reference's retention cleanup
+  * (cleanup.py:16-54: cutoff = now - retention, scan-and-delete with
+  * per-file error isolation, :43-46) lifted to table versions: expired
+  * snapshots' metadata is removed and any data/manifest file no retained
+  * snapshot references is deleted. The CURRENT snapshot is always retained,
+  * so readers pinned to it are never broken; readers pinned to an expired
+  * snapshot lose reproducibility only after its retention lapses — exactly
+  * the reference's 24h contract.
+  */
+object Expire {
+
+  final case class Result(
+      expiredSnapshots: Vector[Long],
+      deletedDataFiles: Vector[String],
+      deletedMetaFiles: Vector[String],
+      failures: Vector[String])
+
+  def expire(table: LakeTable,
+             retainLast: Int = 2,
+             olderThanMs: Option[Long] = None,
+             nowMs: Long = System.currentTimeMillis()): Result = {
+    val snaps = table.allSnapshots
+    val currentId = table.currentSnapshotId.get
+
+    val newestFirst = snaps.sortBy(-_.id)
+    val retained = newestFirst.zipWithIndex.filter { case (s, idx) =>
+      s.id == currentId ||
+        (idx < retainLast && olderThanMs.forall(cut => s.timestampMs >= cut))
+    }.map(_._1)
+    val expired = snaps.filterNot(s => retained.exists(_.id == s.id))
+    if (expired.isEmpty)
+      return Result(Vector.empty, Vector.empty, Vector.empty, Vector.empty)
+
+    val keepData = retained.flatMap(s => table.dataFiles(s)).map(_.path).toSet
+    val keepManifests = retained.flatMap(_.manifestPaths).toSet
+
+    val dropData = expired.flatMap(s => table.dataFiles(s)).map(_.path)
+      .distinct.filterNot(keepData)
+    val dropManifests = expired.flatMap(_.manifestPaths)
+      .distinct.filterNot(keepManifests)
+
+    val failures = Vector.newBuilder[String]
+    val deletedData = Vector.newBuilder[String]
+    val deletedMeta = Vector.newBuilder[String]
+
+    // Per-file error isolation: one failed delete must not abort the sweep
+    // (reference cleanup.py:43-46 "skip failures, keep going").
+    def tryDelete(abs: java.nio.file.Path, label: String): Boolean =
+      try Files.deleteIfExists(abs)
+      catch { case e: Exception => failures += s"$label: ${e.getMessage}"; false }
+
+    dropData.foreach { rel =>
+      if (tryDelete(Paths.get(table.absData(rel)), rel)) deletedData += rel
+    }
+    dropManifests.foreach { rel =>
+      if (tryDelete(Paths.get(table.root, "metadata", rel), rel)) deletedMeta += rel
+    }
+    expired.foreach { s =>
+      val rel = s"snap-${s.id}.json"
+      if (tryDelete(Paths.get(table.root, "metadata", rel), rel)) deletedMeta += rel
+    }
+
+    Result(expired.map(_.id), deletedData.result(), deletedMeta.result(), failures.result())
+  }
+}
+
+/** Manifest rewrite: regroup the current snapshot's (unchanged) data files
+  * into range-sorted manifests of bounded size. Pure metadata operation —
+  * no data moves — keeping planning cost bounded as file counts grow.
+  */
+object ManifestRewrite {
+  def rewrite(table: LakeTable, entriesPerManifest: Int = 1000): graft.lake.Snapshot =
+    table.commit(table.currentFiles, "rewrite-manifests",
+      summary = Map("entries_per_manifest" -> entriesPerManifest.toString),
+      entriesPerManifest = entriesPerManifest)
+}

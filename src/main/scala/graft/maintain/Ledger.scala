@@ -1,0 +1,123 @@
+package graft.maintain
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.lake.{DataFile, LakeTable, MetaJson}
+
+import scala.jdk.CollectionConverters._
+
+/** Per-partition checkpoint ledger (north rule): every maintenance job
+  * records, per task, its input-file lineage, output files and rewrite
+  * metrics BEFORE the final snapshot commit. A restarted job reads the
+  * ledger, skips `done` tasks (reusing their outputs verbatim), and only
+  * recomputes pending ones — the reference's idempotent backfill semantics
+  * (file_service.py:113-137: cached artifact served, missing one rebuilt)
+  * generalized to distributed maintenance.
+  *
+  * Each task row is its own atomically-moved JSON file, so a crash
+  * mid-write can never corrupt previously checkpointed tasks.
+  */
+object Ledger {
+
+  final case class TaskRow(
+      jobId: String, taskId: Int, state: String,
+      inFiles: Vector[String], outFiles: Vector[DataFile],
+      rows: Long, bytes: Long, durationMs: Long)
+
+  private def jobDir(table: LakeTable, jobId: String) =
+    table.ledgerDir.resolve(jobId)
+
+  // ---- plan -------------------------------------------------------------
+
+  final case class Plan(baseSnapshotId: Long, groups: Vector[Vector[String]],
+                        convCuts: Array[Long], turnCuts: Array[Long])
+
+  /** Persist the job plan (task -> input files, base snapshot, quantile
+    * cuts) before any work starts; resume MUST reuse the stored plan — and
+    * the stored CURVE — not recompute them.
+    */
+  def writePlan(table: LakeTable, jobId: String, baseSnapshotId: Long,
+                groups: Vector[Vector[String]],
+                convCuts: Array[Long] = Array.empty,
+                turnCuts: Array[Long] = Array.empty): Unit = {
+    val o = MetaJson.mapper.createObjectNode()
+    o.put("job_id", jobId)
+    o.put("base_snapshot_id", baseSnapshotId)
+    val arr = o.putArray("groups")
+    groups.foreach { g => val ga = arr.addArray(); g.foreach(ga.add) }
+    val cc = o.putArray("conv_cuts"); convCuts.foreach(cc.add)
+    val tc = o.putArray("turn_cuts"); turnCuts.foreach(tc.add)
+    atomicWrite(table, jobId, "plan.json", MetaJson.write(o))
+  }
+
+  def readPlan(table: LakeTable, jobId: String): Option[Plan] = {
+    val p = jobDir(table, jobId).resolve("plan.json")
+    if (!Files.exists(p)) None
+    else {
+      val n = MetaJson.read(Files.readString(p))
+      val groups = n.get("groups").elements().asScala.map { g =>
+        g.elements().asScala.map(_.asText).toVector
+      }.toVector
+      def longs(k: String): Array[Long] = Option(n.get(k)).map(
+        _.elements().asScala.map(_.asLong).toArray).getOrElse(Array.empty)
+      Some(Plan(n.get("base_snapshot_id").asLong, groups,
+        longs("conv_cuts"), longs("turn_cuts")))
+    }
+  }
+
+  // ---- tasks ------------------------------------------------------------
+
+  def writeTask(table: LakeTable, row: TaskRow): Unit = {
+    val o = MetaJson.mapper.createObjectNode()
+    o.put("job_id", row.jobId); o.put("task_id", row.taskId)
+    o.put("state", row.state); o.put("rows", row.rows)
+    o.put("bytes", row.bytes); o.put("duration_ms", row.durationMs)
+    val inA = o.putArray("in_files"); row.inFiles.foreach(inA.add)
+    val outA = o.putArray("out_files")
+    row.outFiles.foreach(f => outA.add(MetaJson.dataFileToJson(f)))
+    atomicWrite(table, row.jobId, f"task-${row.taskId}%05d.json", MetaJson.write(o))
+  }
+
+  def readTasks(table: LakeTable, jobId: String): Map[Int, TaskRow] = {
+    val dir = jobDir(table, jobId)
+    if (!Files.exists(dir)) Map.empty
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("task-"))
+      .map { p => taskFromJson(MetaJson.read(Files.readString(p))) }
+      .map(t => t.taskId -> t).toMap
+  }
+
+  private def taskFromJson(n: JsonNode): TaskRow = TaskRow(
+    n.get("job_id").asText, n.get("task_id").asInt, n.get("state").asText,
+    n.get("in_files").elements().asScala.map(_.asText).toVector,
+    n.get("out_files").elements().asScala.map(MetaJson.dataFileFromJson).toVector,
+    n.get("rows").asLong, n.get("bytes").asLong, n.get("duration_ms").asLong)
+
+  /** Ledger as a DataFrame for metrics/reporting queries. */
+  def asDataFrame(table: LakeTable, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = if (!Files.exists(table.ledgerDir)) Vector.empty
+    else Files.walk(table.ledgerDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("task-")).toVector
+      .map(p => taskFromJson(MetaJson.read(Files.readString(p))))
+      .map(t => (t.jobId, t.taskId, t.state, t.inFiles.size, t.outFiles.size,
+        t.rows, t.bytes, t.durationMs))
+    rows.toDF("job_id", "task_id", "state", "n_in_files", "n_out_files",
+      "rows", "bytes", "duration_ms")
+  }
+
+  private def atomicWrite(table: LakeTable, jobId: String, name: String, body: String): Unit = {
+    val dir = jobDir(table, jobId)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(name + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.maintain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.ingest.Normalize
+import graft.lake.{DataFile, LakeTable, Snapshot}
+
+/** MERGE INTO keyed on (conv_id, turn_idx) with the reference's
+  * non-empty-wins update semantics (`_group_records_by_id`,
+  * csv_handler.py:66-97): a staged drop's value overwrites the target only
+  * when non-empty; empty/"" never clobbers existing data; unmatched staged
+  * keys insert.
+  *
+  * Physical plan, scale-aware:
+  *   1. staged key range (one cheap agg) -> manifest pre-filter: only
+  *      target files whose (conv_id) stats overlap the staged range are
+  *      rewritten — a merge touching 0.1% of conversations rewrites 0.1%
+  *      of the table, not all of it;
+  *   2. full-outer sort-merge join on the key (full outer cannot
+  *      broadcast; both sides shuffle once on the key);
+  *   3. per-column coalesce(nullif(staged, ''), target);
+  *   4. range-repartition + sort on the cluster key, write, commit:
+  *      untouched files carry over into the new snapshot untouched.
+  */
+object MergeInto {
+
+  final case class Result(snapshot: Snapshot, touchedFiles: Int, carriedFiles: Int,
+                          stagedRows: Long, rejectedRows: Long)
+
+  /** `staged`: an all-string (or already-typed) drop frame; columns are
+    * aligned by trimmed name, schema evolves append-only. If `staged` has a
+    * `_seq` column it orders duplicate-key resolution within the batch
+    * (last non-empty wins), mirroring drop-file line order.
+    */
+  def merge(table: LakeTable, staged: DataFrame, tag: String,
+            targetFileRows: Long = 1L << 20): Result = {
+    val spark = table.spark
+    // `_seq` is a control column (duplicate-key ordering within the batch),
+    // never table data — pass it through alignment without schema evolution.
+    val (alignedAll, evolvedSchema) = Normalize.alignToSchema(
+      staged, table.schema, passthrough = Seq("_seq"))
+    val (valid0, rejected) = Normalize.routeInvalid(alignedAll)
+    val rejectedRows = rejected.count()
+
+    // Resolve duplicate keys INSIDE the batch first (reference: later
+    // records in one file overwrite non-empty field-by-field).
+    val ord: Column =
+      if (staged.columns.contains("_seq")) col("_seq") else lit(0L)
+    val dataFields = evolvedSchema.fields.filterNot(f =>
+      f.name == "conv_id" || f.name == "turn_idx")
+    val stagedSeq = valid0.withColumn("__ord", ord)
+    val aggs = dataFields.map { f =>
+      val w = if (f.dataType == StringType)
+        graft.ingest.Grouping.lastNonEmptyWins(col(s"`${f.name}`"), col("__ord"))
+      else graft.ingest.Grouping.lastNonNullWins(col(s"`${f.name}`"), col("__ord"))
+      w.as(f.name)
+    }
+    val dedup =
+      if (aggs.isEmpty) stagedSeq.select("conv_id", "turn_idx").distinct()
+      else stagedSeq.groupBy(col("conv_id"), col("turn_idx")).agg(aggs.head, aggs.tail: _*)
+
+    val stagedRows = dedup.count()
+
+    // Key range of the staged batch -> prune the rewrite set.
+    val rangeRow = dedup.agg(min("conv_id"), max("conv_id")).head()
+    val (lo, hi) = (Option(rangeRow.getString(0)), Option(rangeRow.getString(1)))
+
+    val files = table.currentFiles
+    val touched = (lo, hi) match {
+      case (Some(l), Some(h)) => files.filter(_.overlapsConv(l, h))
+      case _ => Vector.empty[DataFile]
+    }
+    val carried = files.filterNot(touched.toSet)
+
+    val st = evolvedSchema.toStruct
+    val target =
+      if (touched.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+      else spark.read.schema(table.schema.toStruct)
+        .parquet(touched.map(f => table.absData(f.path)): _*)
+
+    val t = target.as("t")
+    val s = dedup.as("s")
+    val joined = t.join(s,
+      col("t.conv_id") === col("s.conv_id") && col("t.turn_idx") === col("s.turn_idx"),
+      "full_outer")
+
+    val targetCols = table.schema.fieldNames.toSet
+    val mergedCols =
+      coalesce(col("s.conv_id"), col("t.conv_id")).as("conv_id") +:
+      coalesce(col("s.turn_idx"), col("t.turn_idx")).as("turn_idx") +:
+      dataFields.map { f =>
+        val sCol = col(s"s.`${f.name}`")
+        val tCol = if (targetCols(f.name)) col(s"t.`${f.name}`")
+                   else lit(null).cast(f.dataType)
+        val merged = f.dataType match {
+          case StringType => coalesce(when(sCol =!= "", sCol), tCol)
+          case _ => coalesce(sCol, tCol)
+        }
+        merged.as(f.name)
+      }
+    val merged = joined.select(mergedCols: _*)
+      .select(evolvedSchema.fieldNames.map(n => col(s"`$n`")): _*)
+
+    // Size output files by rows (we know exact input rows cheaply).
+    val totalRows = touched.map(_.rows).sum + stagedRows
+    val nOut = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
+    // Range-partition directly on the key: merge outputs get tight per-file
+    // conv ranges (prunable); the balanced Z-curve belongs to Clustering.
+    val out = merged
+      .repartitionByRange(nOut, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+
+    val newEntries = table.writeDataFiles(out, tag)
+    val snap = table.commit(carried ++ newEntries, "merge", Some(evolvedSchema),
+      Map("merge_tag" -> tag,
+        "staged_rows" -> stagedRows.toString,
+        "rejected_rows" -> rejectedRows.toString,
+        "touched_files" -> touched.size.toString))
+    Result(snap, touched.size, carried.size, stagedRows, rejectedRows)
+  }
+}

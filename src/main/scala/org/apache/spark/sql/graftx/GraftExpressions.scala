@@ -6,7 +6,7 @@
 package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, LongType}
@@ -37,4 +37,31 @@ case class ZOrder64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZOrder64 =
     copy(left = newLeft, right = newRight)
+}
+
+/** `bucket_by_cuts(v, cuts)` — quantile bucketing: returns the index of the
+  * first cut > v (binary search), i.e. which of the `cuts.length + 1`
+  * quantile buckets `v` falls into. Used to normalize clustering dimensions
+  * onto a BALANCED grid before Z-interleaving — min/max linear scaling is
+  * catastrophically outlier-sensitive (one far-away key collapses all real
+  * keys into one bucket), quantiles are not. `cuts` is a driver-computed
+  * sorted array shipped as a codegen reference object.
+  */
+case class BucketByCuts(child: Expression, cuts: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bucket_by_cuts"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.Buckets.of(v.asInstanceOf[Long], cuts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cutsRef = ctx.addReferenceObj("cuts", cuts, "long[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.Buckets.of($v, $cutsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketByCuts =
+    copy(child = newChild)
 }

@@ -42,6 +42,14 @@ class MortonSpec extends AnyFunSuite {
       Morton.interleave(123456, 789), Morton.interleave(-1, 7)))
   }
 
+  test("convOrderKeyScala matches the Column expression") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ids = Seq("c00000001", "conv123456789", "abc", "zz99x", "", "Xy-1")
+    val fromCol = ids.toDF("c").select(ZOrder.convOrderKey(col("c"))).as[Int].collect()
+    assert(fromCol.toSeq == ids.map(ZOrder.convOrderKeyScala))
+  }
+
   test("convOrderKey is monotonic over synthetic conv ids") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake._
+import graft.maintain._
+import graft.synth.TranscriptSynth
+
+/** North-rule invariant suite (SURVEY.md §5.2 items 2-3): per-turn text
+  * equality under stable (conv_id, turn_idx) ordering after maintenance,
+  * snapshot isolation, ledger resume, prune ratio, expiry semantics.
+  */
+class LakeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpTable(name: String): String = {
+    val p = Paths.get("target", "test-lake", name + "-" + System.nanoTime())
+    LakeTable.deleteRecursively(p)
+    p.toString
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Row] =
+    df.orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts").collect().toSeq
+
+  private def synth(nConvs: Int) = TranscriptSynth.turns(spark, nConvs, seed = 42L)
+
+  test("append + scan roundtrip preserves every turn") {
+    val t = LakeTable.create(spark, tmpTable("roundtrip"), TranscriptSynth.schema)
+    val data = synth(50)
+    t.append(data, "init")
+    assert(sortedRows(t.scan().df) == sortedRows(data))
+  }
+
+  test("scan prunes files by conv range using manifest stats") {
+    val t = LakeTable.create(spark, tmpTable("prune"), TranscriptSynth.schema)
+    val data = synth(200)
+    // write range-sorted so files have tight conv ranges
+    t.append(data.repartitionByRange(20, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    val scan = t.scan(convRange = Some(("c00000010", "c00000019")))
+    assert(scan.prune.totalFiles == 20)
+    assert(scan.prune.ratio >= 0.9, s"prune ratio ${scan.prune.ratio}")
+    val expected = sortedRows(data.where(col("conv_id").between("c00000010", "c00000019")))
+    assert(sortedRows(scan.df) == expected)
+  }
+
+  test("merge: non-empty wins, inserts new keys, untouched files carried") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("merge"), TranscriptSynth.schema)
+    val data = synth(40)
+    t.append(data.repartitionByRange(8, col("conv_id")), "init")
+    val before = t.currentFiles.size
+
+    // staged drop: update (c1,0) text; empty text for (c1,1) must NOT
+    // clobber; brand-new conversation inserts.
+    val staged = Seq(
+      ("c00000001", "0", "user", "UPDATED", "", "", 0L),
+      ("c00000001", "1", "", "", "", "", 1L),
+      ("c99999999", "0", "user", "new conv", "", "", 2L)
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts_ignored", "_seq")
+      .drop("ts_ignored")
+
+    val res = MergeInto.merge(t, staged, "drop1")
+    assert(res.stagedRows == 3)
+    assert(res.touchedFiles < before, "merge must not rewrite the whole table")
+
+    val after = t.readOrdered().collect()
+    val m = after.map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(m(("c00000001", 0)).getString(3) == "UPDATED")
+    val origText = data.where(col("conv_id") === "c00000001" && col("turn_idx") === 1)
+      .select("text").head().getString(0)
+    assert(m(("c00000001", 1)).getString(3) == origText, "empty must not clobber")
+    assert(m(("c99999999", 0)).getString(3) == "new conv")
+    assert(after.length == data.count() + 1)
+  }
+
+  test("merge evolves schema append-only with new columns") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("evolve"), TranscriptSynth.schema)
+    t.append(synth(5), "init")
+    // drop_b fixture: extra `lang` column, padded header name
+    val staged = Seq(("c00000002", "0", "user", "hola", "es"))
+      .toDF("conv_id", "turn_idx", "role", "text", " lang ")
+    MergeInto.merge(t, staged, "drop2")
+    val sch = t.schema
+    assert(sch.fieldNames.last == "lang")
+    assert(sch.fields.last.id == sch.lastFieldId)
+    assert(sch.fields.map(_.name).take(6) == TranscriptSynth.schema.fieldNames.toVector)
+    val row = t.scan().df.where(col("conv_id") === "c00000002" && col("turn_idx") === 0)
+      .select("lang", "text").head()
+    assert(row.getString(0) == "es" && row.getString(1) == "hola")
+    // older rows read null for the new field
+    assert(t.scan().df.where(col("lang").isNull).count() > 0)
+  }
+
+  test("compaction: many small files bin-packed, content identical") {
+    val t = LakeTable.create(spark, tmpTable("compact"), TranscriptSynth.schema)
+    val data = synth(60)
+    t.append(data.repartition(40), "init") // 40 tiny files
+    val before = t.currentFiles.size
+    val pre = sortedRows(t.scan().df)
+    val res = Compaction.compact(t, "compact-job-1", smallFileBytes = 32L << 20,
+      targetBytes = 128L << 20)
+    assert(res.snapshot.isDefined)
+    assert(t.currentFiles.size < before / 2, s"files: $before -> ${t.currentFiles.size}")
+    assert(sortedRows(t.scan().df) == pre, "compaction must not change content")
+    // idempotent: same job id returns the committed snapshot, no new work
+    val again = Compaction.compact(t, "compact-job-1")
+    assert(again.snapshot.map(_.id) == res.snapshot.map(_.id))
+  }
+
+  test("clustering cold pass: >=90% file prune on conv range from a random layout") {
+    val t = LakeTable.create(spark, tmpTable("cluster"), TranscriptSynth.schema)
+    val data = synth(600)
+    t.append(data.repartition(30), "init") // randomly distributed: no locality
+    val pre = sortedRows(t.scan().df)
+
+    val preScan = t.scan(convRange = Some(("c00000100", "c00000109")))
+    assert(preScan.prune.ratio < 0.5) // random layout: almost nothing prunes
+
+    // file count proportioned like a real table (selectivity << 1/nFiles is
+    // the regime the >=90% criterion describes)
+    val res = Clustering.cluster(t, "cluster-job-1", targetFileRows = 100)
+    assert(res.groups == 1, "cold layout must plan one global shuffle")
+
+    assert(sortedRows(t.scan().df) == pre, "clustering must not change content")
+    val postScan = t.scan(convRange = Some(("c00000100", "c00000109")))
+    assert(postScan.prune.ratio >= 0.9, s"prune ratio ${postScan.prune.ratio}")
+    assert(sortedRows(postScan.df) ==
+      pre.filter(r => r.getString(0) >= "c00000100" && r.getString(0) <= "c00000109"))
+
+    // idempotent re-run
+    val again = Clustering.cluster(t, "cluster-job-1")
+    assert(again.snapshot.id == res.snapshot.id)
+  }
+
+  test("clustering incremental: range-local groups, interrupt + ledger resume") {
+    val t = LakeTable.create(spark, tmpTable("cluster-inc"), TranscriptSynth.schema)
+    val data = synth(300)
+    // range-partitioned load: files already carry tight conv ranges
+    t.append(data.repartitionByRange(24, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    val pre = sortedRows(t.scan().df)
+
+    // interrupt after 1 group, then resume with the same job id
+    intercept[InterruptedException] {
+      Clustering.cluster(t, "cluster-job-2", targetFileRows = 200,
+        groupTargetBytes = 32L << 10, interruptAfter = 1)
+    }
+    val res = Clustering.cluster(t, "cluster-job-2", targetFileRows = 200,
+      groupTargetBytes = 32L << 10)
+    assert(res.groups >= 2, "range-local input must plan multiple groups")
+    assert(res.resumedGroups >= 1, "must reuse the checkpointed group")
+
+    assert(sortedRows(t.scan().df) == pre, "resume must reproduce exact content")
+    val postScan = t.scan(convRange = Some(("c00000050", "c00000059")))
+    assert(postScan.prune.ratio >= 0.9, s"prune ratio ${postScan.prune.ratio}")
+
+    // ledger metrics exposed as a DataFrame
+    val ledger = Ledger.asDataFrame(t, spark)
+    assert(ledger.where(col("job_id") === "cluster-job-2" && col("state") === "done").count() >= 2)
+  }
+
+  test("snapshot isolation: reader pinned to S sees S after maintenance commits") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("isolation"), TranscriptSynth.schema)
+    t.append(synth(30), "init")
+    val pinned = t.currentSnapshotId.get
+    val before = sortedRows(t.scan(snapshotId = Some(pinned)).df)
+
+    val staged = Seq(("c00000003", "0", "user", "CLOBBERED", ""))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    MergeInto.merge(t, staged, "drop-iso")
+    Clustering.cluster(t, "cluster-iso", targetFileRows = 500, groupTargetBytes = 64L << 10)
+
+    assert(sortedRows(t.scan(snapshotId = Some(pinned)).df) == before,
+      "pinned snapshot must be byte-stable across maintenance")
+    assert(t.scan().df.where(col("text") === "CLOBBERED").count() == 1)
+  }
+
+  test("expiry: old snapshots + unreferenced files deleted, current readable") {
+    val t = LakeTable.create(spark, tmpTable("expire"), TranscriptSynth.schema)
+    t.append(synth(20).repartition(10), "init")
+    Compaction.compact(t, "expire-compact", smallFileBytes = 32L << 20)
+    val pre = sortedRows(t.scan().df)
+    val nSnapshots = t.allSnapshots.size
+    assert(nSnapshots >= 3)
+    val filesOnDisk = Files.list(Paths.get(t.root, "data")).count()
+
+    val res = Expire.expire(t, retainLast = 1)
+    assert(res.expiredSnapshots.nonEmpty)
+    assert(res.deletedDataFiles.nonEmpty, "compacted-away small files must be GC'd")
+    assert(res.failures.isEmpty)
+    assert(Files.list(Paths.get(t.root, "data")).count() < filesOnDisk)
+    assert(t.allSnapshots.size < nSnapshots)
+    assert(sortedRows(t.scan().df) == pre, "current snapshot must survive expiry")
+  }
+
+  test("manifest rewrite: pure metadata op, data unchanged, bounded manifests") {
+    val t = LakeTable.create(spark, tmpTable("manifest"), TranscriptSynth.schema)
+    t.append(synth(50).repartitionByRange(12, col("conv_id")), "init")
+    val pre = sortedRows(t.scan().df)
+    val dataFilesBefore = t.currentFiles.map(_.path).toSet
+    val snap = ManifestRewrite.rewrite(t, entriesPerManifest = 3)
+    assert(snap.manifestPaths.size >= 4) // 12 files / 3 per manifest
+    assert(t.currentFiles.map(_.path).toSet == dataFilesBefore)
+    assert(sortedRows(t.scan().df) == pre)
+  }
+
+  test("synth determinism: same seed => identical data") {
+    val a = synth(25).collect().toSeq
+    val b = synth(25).collect().toSeq
+    assert(a == b)
+    // skew: conv 0 is hot
+    val sizes = synth(25).groupBy("conv_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes("c00000000") > 10 * (sizes.values.sum / sizes.size))
+  }
+}
