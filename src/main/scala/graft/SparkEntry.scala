@@ -288,6 +288,26 @@ object SparkEntry {
             pmod(col("event_id"), lit(1024)).cast("int")).as("zkey"))
         .orderBy("event_id")
         .limit(1000)),
+
+    // --- multimodal binary-column plumbing -------------------------------
+    "q26_media_meta" -> ((s, d) => {
+      val media = graft.functions.Multimodal.fakeMediaFromText(
+        t(s, d, "documents"), "doc_id", "text")
+      media.select(col("media_id"), col("n_bytes"),
+        graft.functions.Multimodal.frameCount(col("content"), 64).as("n_frames"))
+        .orderBy("media_id")
+    }),
+
+    "q27_media_chunks" -> ((s, d) => {
+      val media = graft.functions.Multimodal.fakeMediaFromText(
+        t(s, d, "documents"), "doc_id", "text")
+      media.select(col("media_id"),
+          explode(graft.functions.Multimodal.binaryChunks(col("content"), 64)).as("chunk"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(octet_length(col("chunk")).cast("long")).as("total_bytes"))
+        .orderBy("media_id")
+    }),
   )
 
   /** The transcript-ization of events, shared by the lake oracle SQL.
@@ -439,5 +459,16 @@ object SparkEntry {
       """SELECT event_id,
         |  CASE WHEN event_type = 'error' THEN '''=cmd ' || props ELSE props END AS clean_text
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "q26_media_meta" ->
+      """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q27_media_chunks" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(least(ceil(length(text) / 64.0), 64) AS BIGINT) AS n_chunks,
+        |  CAST(least(length(text), 64*64) AS BIGINT) AS total_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

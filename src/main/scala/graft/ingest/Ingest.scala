@@ -71,6 +71,13 @@ object Ingest {
                     idField: Option[String] = None): DropResult =
     parseContent(spark, readContent(path), idField)
 
+  /** Sanitized-CSV sink (reference W1: `_build_sanitized_csv`,
+    * file_service.py:16-21) — header row, evolved field order, missing
+    * values as empty strings.
+    */
+  def writeSanitizedCsv(df: DataFrame, path: String): Unit =
+    df.na.fill("").write.mode("overwrite").option("header", "true").csv(path)
+
   private def grouped(df: DataFrame, idField: Option[String]): DataFrame =
     idField.map(_.trim).filter(_.nonEmpty) match {
       case None => df

@@ -121,13 +121,15 @@ class LakeTable(val root: String, val spark: SparkSession) {
     val conf = spark.sessionState.newHadoopConf()
     val parts = Files.list(staging).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toVector.sortBy(_.toString)
-    val entries = parts.zipWithIndex.map { case (p, i) =>
-      val rel = s"data/$tag-$i.parquet"
-      val target = Paths.get(root, rel)
-      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      val st = ParquetStats.read(target.toString, conf)
-      DataFile(rel, st.rows, Files.size(target),
-        st.minConv, st.maxConv, st.minTurn, st.maxTurn)
+    // Footer reads are independent metadata fetches — do them concurrently.
+    val entries = graft.maintain.Parallel.mapInParallel(parts.zipWithIndex, 16) {
+      case (p, i) =>
+        val rel = s"data/$tag-$i.parquet"
+        val target = Paths.get(root, rel)
+        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        val st = ParquetStats.read(target.toString, conf)
+        DataFile(rel, st.rows, Files.size(target),
+          st.minConv, st.maxConv, st.minTurn, st.maxTurn)
     }
     deleteRecursively(staging)
     entries

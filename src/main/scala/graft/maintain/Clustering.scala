@@ -66,17 +66,16 @@ object Clustering {
 
     val byPath = table.currentFiles.map(f => f.path -> f).toMap
     val done = Ledger.readTasks(table, jobId).filter(_._2.state == "done")
-    var resumed = 0
-    var rewritten = 0L
-    var executed = 0
+    val resumedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rewrittenRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val executedCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
-    val outputs = groups.zipWithIndex.map { case (paths, gi) =>
+    def runGroup(paths: Vector[String], gi: Int): Vector[DataFile] =
       done.get(gi) match {
-        case Some(t) => resumed += 1; t.outFiles
+        case Some(t) => resumedCount.incrementAndGet(); t.outFiles
         case None =>
-          if (executed >= interruptAfter)
-            throw new InterruptedException(s"chaos interrupt after $executed groups")
-          executed += 1
+          if (executedCount.getAndIncrement() >= interruptAfter)
+            throw new InterruptedException(s"chaos interrupt after $interruptAfter groups")
           val t0 = System.nanoTime()
           val inFiles = paths.map(byPath(_))
           val bytes = inFiles.map(_.bytes).sum
@@ -95,13 +94,24 @@ object Clustering {
             .drop("__zkey", "__salt")
 
           val out = table.writeDataFiles(df, s"$jobId-g$gi")
-          rewritten += rows
+          rewrittenRows.addAndGet(rows)
           Ledger.writeTask(table, Ledger.TaskRow(
             jobId, gi, "done", paths, out, rows, bytes,
             (System.nanoTime() - t0) / 1000000))
           out
       }
-    }
+
+    // Groups are independent: submit concurrently (each is its own shuffle)
+    // unless the chaos-interrupt test hook needs deterministic order.
+    val indexed = groups.zipWithIndex
+    val outputs =
+      if (interruptAfter != Int.MaxValue) indexed.map { case (p, gi) => runGroup(p, gi) }
+      else Parallel.mapInParallel(indexed,
+        parallelism = math.max(2, spark.sparkContext.defaultParallelism / 8)) {
+        case (p, gi) => runGroup(p, gi)
+      }
+    val resumed = resumedCount.get()
+    val rewritten = rewrittenRows.get()
 
     val inputSet = groups.flatten.toSet
     val carried = table.currentFiles.filterNot(f => inputSet(f.path))

@@ -44,25 +44,30 @@ object Compaction {
 
     val byPath = table.currentFiles.map(f => f.path -> f).toMap
     val done = Ledger.readTasks(table, jobId).filter(_._2.state == "done")
-    var resumed = 0
+    val resumedCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
-    val outputs = plannedBins.zipWithIndex.map { case (paths, bi) =>
-      done.get(bi) match {
-        case Some(t) => resumed += 1; t.outFiles
-        case None =>
-          val t0 = System.nanoTime()
-          val inFiles = paths.map(byPath(_))
-          val df = spark.read.schema(table.schema.toStruct)
-            .parquet(paths.map(table.absData): _*)
-            .coalesce(1) // merge partitions without shuffling
-            .sortWithinPartitions(col("conv_id"), col("turn_idx"))
-          val out = table.writeDataFiles(df, s"$jobId-b$bi")
-          Ledger.writeTask(table, Ledger.TaskRow(jobId, bi, "done", paths, out,
-            inFiles.map(_.rows).sum, inFiles.map(_.bytes).sum,
-            (System.nanoTime() - t0) / 1000000))
-          out
-      }
+    // Bins are single-task coalesce jobs: submit them CONCURRENTLY so they
+    // fill the executors instead of running one task at a time.
+    val outputs = Parallel.mapInParallel(plannedBins.zipWithIndex,
+      parallelism = spark.sparkContext.defaultParallelism) {
+      case (paths, bi) =>
+        done.get(bi) match {
+          case Some(t) => resumedCount.incrementAndGet(); t.outFiles
+          case None =>
+            val t0 = System.nanoTime()
+            val inFiles = paths.map(byPath(_))
+            val df = spark.read.schema(table.schema.toStruct)
+              .parquet(paths.map(table.absData): _*)
+              .coalesce(1) // merge partitions without shuffling
+              .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+            val out = table.writeDataFiles(df, s"$jobId-b$bi")
+            Ledger.writeTask(table, Ledger.TaskRow(jobId, bi, "done", paths, out,
+              inFiles.map(_.rows).sum, inFiles.map(_.bytes).sum,
+              (System.nanoTime() - t0) / 1000000))
+            out
+        }
     }
+    val resumed = resumedCount.get()
 
     val inputSet = plannedBins.flatten.toSet
     val carried = table.currentFiles.filterNot(f => inputSet(f.path))
