@@ -34,6 +34,8 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // zstd shuffle: fewer bytes over the (shared, non-scaling) disk
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
@@ -49,6 +51,12 @@ object ScalingBench {
         .repartition(128), "load")
       val rows = t.currentFiles.map(_.rows).sum
       val loadSec = (System.nanoTime() - t0) / 1e9
+
+      // Settle the load phase's dirty pages before measuring maintenance:
+      // otherwise the run pinned to ALL cores fights the kernel flushing
+      // its own load writes (observed: identical quantile pass 5x slower).
+      try { new ProcessBuilder("sync").start().waitFor(); Thread.sleep(10000) }
+      catch { case _: Exception => () }
 
       val t1 = System.nanoTime()
       Compaction.compact(t, "bench-compact", smallFileBytes = 4L << 20,

@@ -54,12 +54,14 @@ object Clustering {
             s"but current is ${table.currentSnapshotId}; stale plan")
         p
       case None =>
+        val tPlan = System.nanoTime()
         val files = table.currentFiles
           .sortBy(f => (f.minConv.getOrElse(""), f.minTurn.getOrElse(0)))
         val planned = planGroups(files, groupTargetBytes).map(_.map(_.path))
         val (convCuts, turnCuts) = quantileCuts(table, files)
         val base = table.currentSnapshotId.get
         Ledger.writePlan(table, jobId, base, planned, convCuts, turnCuts)
+        logInfoTime("cluster plan (incl. quantile pass)", tPlan)
         Ledger.readPlan(table, jobId).get
     }
     val groups = plan.groups
@@ -113,14 +115,19 @@ object Clustering {
     val resumed = resumedCount.get()
     val rewritten = rewrittenRows.get()
 
+    val tCommit = System.nanoTime()
     val inputSet = groups.flatten.toSet
     val carried = table.currentFiles.filterNot(f => inputSet(f.path))
     val snap = table.commit(carried ++ outputs.flatten, "cluster",
       summary = Map("job_id" -> jobId,
         "groups" -> groups.size.toString,
         "rows_rewritten" -> rewritten.toString))
+    logInfoTime("cluster commit", tCommit)
     Result(snap, groups.size, resumed, rewritten)
   }
+
+  private def logInfoTime(what: String, t0: Long): Unit =
+    System.err.println(f"[graft.cluster] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
   /** One approxQuantile pass at plan time computes the bucket cuts for both
     * Z dimensions — quantiles, not min/max, so key-space outliers cannot
@@ -137,17 +144,24 @@ object Clustering {
     * bar, and turn locality still helps turn-slice scans within slabs.
     */
   def quantileCuts(table: LakeTable, files: Vector[DataFile],
-                   convBuckets: Int = 4096, turnBuckets: Int = 64): (Array[Long], Array[Long]) = {
+                   convBuckets: Int = 1024, turnBuckets: Int = 64): (Array[Long], Array[Long]) = {
     if (files.isEmpty) return (Array.empty, Array.empty)
-    val df = table.spark.read.schema(table.schema.toStruct)
+    // Cut precision only has to be finer than a bucket, and bucket
+    // boundaries only steer file layout — 0.004 relative error over a
+    // bounded deterministic sample is indistinguishable for pruning, while
+    // exact 4k-point sketches cost tens of seconds of driver-side merge.
+    val totalRows = math.max(1L, files.map(_.rows).sum)
+    val fraction = math.min(1.0, 2e6 / totalRows)
+    val base = table.spark.read.schema(table.schema.toStruct)
       .parquet(files.map(f => table.absData(f.path)): _*)
-      .select(
-        ZOrder.convOrderKey(col("conv_id")).cast("long").as("__ck"),
-        coalesce(col("turn_idx").cast("long"), lit(0L)).as("__tk"))
+    val sampled = if (fraction < 1.0) base.sample(fraction, seed = 42L) else base
+    val df = sampled.select(
+      ZOrder.convOrderKey(col("conv_id")).cast("long").as("__ck"),
+      coalesce(col("turn_idx").cast("long"), lit(0L)).as("__tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def probs(n: Int) = (1 until n).map(_.toDouble / n).toArray
-    val ck = df.stat.approxQuantile("__ck", probs(convBuckets), 0.001)
-    val tk = df.stat.approxQuantile("__tk", probs(turnBuckets), 0.001)
+    val ck = df.stat.approxQuantile("__ck", probs(convBuckets), 0.004)
+    val tk = df.stat.approxQuantile("__tk", probs(turnBuckets), 0.004)
     df.unpersist()
     (ck.map(_.toLong).distinct.sorted, tk.map(_.toLong).distinct.sorted)
   }

@@ -14,6 +14,16 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, Long
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register the engine's custom expressions for SQL callers:
+    * `SELECT zorder64(a, b)` works after this (FunctionRegistry is a
+    * private[sql] seam, hence registration lives in this bridge package).
+    */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("zorder64",
+      exprs => ZOrder64(exprs.head, exprs(1)), "scala_udf")
+  }
 }
 
 /** `zorder64(a, b)` — native Catalyst expression computing the 64-bit Morton
