@@ -201,8 +201,8 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "q16_simhash" -> ((s, d) =>
-      t(s, d, "documents").where(col("doc_id") < 2000)
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      Dedup.simhashDf(
+        t(s, d, "documents").where(col("doc_id") < 2000), "doc_id", "text")
         .orderBy("doc_id")),
 
     // --- embedding similarity ------------------------------------------

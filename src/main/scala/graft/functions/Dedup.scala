@@ -76,22 +76,65 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast(LongType)
 
+  /** Aggregate-shaped SimHash over a whole frame: explode tokens, vote per
+    * bit via 64 conditional sums (map-side partial aggregation), fold the
+    * signs. Same result as [[simhash64]] but the per-token work is done
+    * once instead of inside a 64-wide fold — prefer this for corpus-scale
+    * jobs. Returns (idCol, simhash); empty-token docs get simhash 0.
+    */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode_outer(TextMetrics.tokens(col(textCol))).as("t"))
+    val h = xxhash64(col("t"))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("t").isNull, 0)
+        .when(shiftright(h, j).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id").as(idCol),
+        (0 until 64).map { j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs over (idCol, textCol).
-    * One scan to build signatures, one shuffle on band hash, pair emit
-    * within buckets (idA < idB). Returns (id_a, id_b, n_shared_bands).
+    *
+    * Shape chosen for scale AND to defeat Catalyst's CollapseProject: a
+    * pure-Column signature (`minhashSignature`) gets its shingle-array
+    * argument INLINED into all numHashes array_min calls, recomputing the
+    * shingles numHashes times per row (measured 40x slowdown). Instead:
+    * explode shingles once, hash each shingle numHashes ways, and take
+    * per-id mins via groupBy — partial (map-side) aggregation makes the
+    * shuffle carry only numHashes longs per document.
+    *
+    * Degenerate LSH buckets (a band hash shared by huge swaths of the
+    * corpus — stopword-only shingle sets and the like) are dropped via
+    * `maxBucket`, standard LSH hygiene that bounds the pair blow-up.
+    *
+    * Returns (id_a, id_b, n_shared_bands), idA < idB.
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      lshBandHashes(
-        minhashSignature(wordShingles(col(textCol), shingleK), numHashes),
-        bands, rowsPerBand).as("band_hashes"))
+    val shingled = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleK)).as("sh"))
+    val minAggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val mins = shingled.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val sig = mins.select(col("id"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
     val exploded = sig.select(col("id"),
-      posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
-    exploded.as("a").join(exploded.as("b"),
+      posexplode(lshBandHashes(col("sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+    val bucketed = exploded
+      .withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash")))
+      .where(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+    bucketed.as("a").join(bucketed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))

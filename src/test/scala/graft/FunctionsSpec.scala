@@ -123,6 +123,19 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
 
+  test("simhashDf (aggregate shape) matches simhash64 (column shape)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four five six"),
+      (3L, "")).toDF("id", "text")
+    val colVersion = docs.select(col("id"), Dedup.simhash64(col("text")).as("simhash"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val aggVersion = Dedup.simhashDf(docs, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(colVersion.toSeq == aggVersion.toSeq)
+  }
+
   test("shingles: first-seen order, short docs give whole-doc shingle") {
     import spark.implicits._
     val got = Seq("a b c d", "a b").toDF("t")
