@@ -7,6 +7,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 NCONVS="${1:-150000}"
+SMALL="${SMALL:-8}"   # N cores
+BIG="${BIG:-32}"      # 4N cores
 CP="target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*"
 OPTS=(
   --add-opens=java.base/java.lang=ALL-UNNAMED
@@ -34,7 +36,7 @@ OPTS=(
 REPS="${2:-2}"
 settle() { sync; sleep 20; }
 
-for cores in 8 32; do
+for cores in "$SMALL" "$BIG"; do
   mask="0-$((cores-1))"
   for i in $(seq 1 "$REPS"); do
     settle
@@ -50,4 +52,4 @@ shutil.copy(best, f"target/scalebench/r{cores}.json")
 print(f"best of {reps} for {cores} cores: {best}")
 PY
 done
-java "${OPTS[@]}" -cp "$CP" graft.ScalingBench report target/scalebench/r8.json target/scalebench/r32.json
+java "${OPTS[@]}" -cp "$CP" graft.ScalingBench report "target/scalebench/r$SMALL.json" "target/scalebench/r$BIG.json"

@@ -123,12 +123,12 @@ object ScalingBench {
          |
          || cores | turns | maintain sec | throughput (turns/s) | prune ratio | files |
          ||---|---|---|---|---|---|
-         || 8  | ${r8.rows} | ${r8.maintainSec}%.1f | ${r8.throughput}%.0f | ${r8.pruneRatio}%.3f | ${r8.files} |
-         || 32 | ${r32.rows} | ${r32.maintainSec}%.1f | ${r32.throughput}%.0f | ${r32.pruneRatio}%.3f | ${r32.files} |
+         || ${r8.cores}  | ${r8.rows} | ${r8.maintainSec}%.1f | ${r8.throughput}%.0f | ${r8.pruneRatio}%.3f | ${r8.files} |
+         || ${r32.cores} | ${r32.rows} | ${r32.maintainSec}%.1f | ${r32.throughput}%.0f | ${r32.pruneRatio}%.3f | ${r32.files} |
          |
-         |**Scaling efficiency (8 -> 32 cores) = ${efficiency}%.2f** (target >= 0.8 noted in
-         |BASELINE.json; single-machine core scaling saturates memory bandwidth sooner
-         |than a real multi-executor cluster would).
+         |**Scaling efficiency (${r8.cores} -> ${r32.cores} cores) = ${efficiency}%.2f** (target >= 0.8
+         |noted in BASELINE.json; single-machine core scaling saturates the shared disk
+         |sooner than a real multi-executor cluster, whose I/O scales with nodes, would).
          |""".stripMargin
     val benchMd = Paths.get("BENCH.md")
     val existing = if (Files.exists(benchMd)) Files.readString(benchMd)
