@@ -41,4 +41,47 @@ object Morton {
   }
 
   def deinterleave(z: Long): (Int, Int) = (compact(z >>> 1), compact(z))
+
+  /** 2-D Hilbert index of (x, y) on a 2^order x 2^order grid (classic
+    * rotate-and-accumulate walk). Hilbert has strictly better worst-case
+    * locality than Z (no curve jumps), at the cost of not being a simple
+    * bit-interleave; offered as the alternative clustering curve.
+    */
+  def hilbert(order: Int, x0: Int, y0: Int): Long = {
+    var x = x0; var y = y0
+    var d = 0L
+    var s = 1 << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse of [[hilbert]]: index -> (x, y). */
+  def hilbertInverse(order: Int, d0: Long): (Int, Int) = {
+    var x = 0; var y = 0
+    var t = d0
+    var s = 1
+    while (s < (1 << order)) {
+      val rx = (1L & (t / 2)).toInt
+      val ry = (1L & (t ^ rx)).toInt
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftx.{Bridge, BucketByCuts, ZOrder64}
+import org.apache.spark.sql.graftx.{Bridge, BucketByCuts, Hilbert64, ZOrder64}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Column-level API over the [[org.apache.spark.sql.graftx.ZOrder64]]
@@ -103,4 +103,20 @@ object ZOrder {
     zorder64(
       bucketByCuts(convOrderKey(convId), convCuts),
       bucketByCuts(coalesce(turnIdx.cast(IntegerType), lit(0)), turnCuts))
+
+  /** Hilbert index of two int columns on a 2^order grid. */
+  def hilbert64(a: Column, b: Column, order: Int = 16): Column =
+    Bridge.toColumn(Hilbert64(Bridge.toExpression(a), Bridge.toExpression(b), order))
+
+  /** Hilbert variant of [[quantileClusterKey]] — same quantile bucketing
+    * (and the same hot-conv bit-budget asymmetry, enforced by the cut
+    * counts), different space-filling curve. Select via
+    * [[graft.maintain.Clustering.cluster]]'s `curve` parameter.
+    */
+  def quantileHilbertKey(convId: Column, turnIdx: Column,
+                         convCuts: Array[Long], turnCuts: Array[Long]): Column =
+    hilbert64(
+      bucketByCuts(convOrderKey(convId), convCuts),
+      bucketByCuts(coalesce(turnIdx.cast(IntegerType), lit(0)), turnCuts),
+      order = 16)
 }

@@ -33,11 +33,16 @@ object Clustering {
   /** `interruptAfter`: chaos/testing hook — abort (like a crash) after N
     * groups have checkpointed, exercising ledger resume.
     */
+  /** `curve`: "z" (default, bit-interleave) or "hilbert" (better worst-case
+    * locality, no curve jumps). Persisted in the plan so a resumed job
+    * keeps the exact curve it started with.
+    */
   def cluster(table: LakeTable, jobId: String,
               targetFileRows: Long = 1L << 20,
               groupTargetBytes: Long = 256L << 20,
               salts: Int = 16,
-              interruptAfter: Int = Int.MaxValue): Result = {
+              interruptAfter: Int = Int.MaxValue,
+              curve: String = "z"): Result = {
     val spark = table.spark
 
     // Idempotence: a snapshot already committed by this job wins outright.
@@ -60,7 +65,7 @@ object Clustering {
         val planned = planGroups(files, groupTargetBytes).map(_.map(_.path))
         val (convCuts, turnCuts) = quantileCuts(table, files)
         val base = table.currentSnapshotId.get
-        Ledger.writePlan(table, jobId, base, planned, convCuts, turnCuts)
+        Ledger.writePlan(table, jobId, base, planned, convCuts, turnCuts, curve)
         logInfoTime("cluster plan (incl. quantile pass)", tPlan)
         Ledger.readPlan(table, jobId).get
     }
@@ -84,8 +89,12 @@ object Clustering {
           val rows = inFiles.map(_.rows).sum
           val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
 
-          val zkey = ZOrder.quantileClusterKey(col("conv_id"), col("turn_idx"),
-            plan.convCuts, plan.turnCuts)
+          val zkey =
+            if (plan.curve == "hilbert")
+              ZOrder.quantileHilbertKey(col("conv_id"), col("turn_idx"),
+                plan.convCuts, plan.turnCuts)
+            else ZOrder.quantileClusterKey(col("conv_id"), col("turn_idx"),
+              plan.convCuts, plan.turnCuts)
           val salt = pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salts))
           val df = spark.read.schema(table.schema.toStruct)
             .parquet(paths.map(table.absData): _*)

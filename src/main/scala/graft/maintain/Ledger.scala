@@ -35,7 +35,8 @@ object Ledger {
   // ---- plan -------------------------------------------------------------
 
   final case class Plan(baseSnapshotId: Long, groups: Vector[Vector[String]],
-                        convCuts: Array[Long], turnCuts: Array[Long])
+                        convCuts: Array[Long], turnCuts: Array[Long],
+                        curve: String = "z")
 
   /** Persist the job plan (task -> input files, base snapshot, quantile
     * cuts) before any work starts; resume MUST reuse the stored plan — and
@@ -44,10 +45,12 @@ object Ledger {
   def writePlan(table: LakeTable, jobId: String, baseSnapshotId: Long,
                 groups: Vector[Vector[String]],
                 convCuts: Array[Long] = Array.empty,
-                turnCuts: Array[Long] = Array.empty): Unit = {
+                turnCuts: Array[Long] = Array.empty,
+                curve: String = "z"): Unit = {
     val o = MetaJson.mapper.createObjectNode()
     o.put("job_id", jobId)
     o.put("base_snapshot_id", baseSnapshotId)
+    o.put("curve", curve)
     val arr = o.putArray("groups")
     groups.foreach { g => val ga = arr.addArray(); g.foreach(ga.add) }
     val cc = o.putArray("conv_cuts"); convCuts.foreach(cc.add)
@@ -66,7 +69,8 @@ object Ledger {
       def longs(k: String): Array[Long] = Option(n.get(k)).map(
         _.elements().asScala.map(_.asLong).toArray).getOrElse(Array.empty)
       Some(Plan(n.get("base_snapshot_id").asLong, groups,
-        longs("conv_cuts"), longs("turn_cuts")))
+        longs("conv_cuts"), longs("turn_cuts"),
+        Option(n.get("curve")).map(_.asText).getOrElse("z")))
     }
   }
 

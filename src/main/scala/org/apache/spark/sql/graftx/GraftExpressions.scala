@@ -49,6 +49,28 @@ case class ZOrder64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `hilbert64(a, b, order)` — 2-D Hilbert index of two int keys on a
+  * 2^order grid; the alternative clustering curve (better worst-case
+  * locality than Z). Codegen emits one static call.
+  */
+case class Hilbert64(left: Expression, right: Expression, order: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.Morton.hilbert(order, a.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Morton.hilbert($order, $a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hilbert64 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `bucket_by_cuts(v, cuts)` — quantile bucketing: returns the index of the
   * first cut > v (binary search), i.e. which of the `cuts.length + 1`
   * quantile buckets `v` falls into. Used to normalize clustering dimensions

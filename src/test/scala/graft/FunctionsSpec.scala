@@ -42,6 +42,29 @@ class MortonSpec extends AnyFunSuite {
       Morton.interleave(123456, 789), Morton.interleave(-1, 7)))
   }
 
+  test("hilbert: index/inverse roundtrip, adjacency (seeded property)") {
+    (1 to 1000).foreach { _ =>
+      val x = rnd.nextInt(1 << 16); val y = rnd.nextInt(1 << 16)
+      val d = Morton.hilbert(16, x, y)
+      assert(Morton.hilbertInverse(16, d) == ((x, y)))
+    }
+    // consecutive Hilbert indices are grid-adjacent (the curve never jumps)
+    (0 until 500).foreach { i =>
+      val (x1, y1) = Morton.hilbertInverse(8, i.toLong)
+      val (x2, y2) = Morton.hilbertInverse(8, i.toLong + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
+  test("hilbert64 expression matches the Scala implementation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pts = Seq((3, 5), (0, 0), (1023, 63), (40000, 2))
+    val got = pts.toDF("a", "b")
+      .select(ZOrder.hilbert64(col("a"), col("b"), 16)).as[Long].collect()
+    assert(got.toSeq == pts.map { case (a, b) => Morton.hilbert(16, a, b) })
+  }
+
   test("convOrderKeyScala matches the Column expression") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -140,6 +140,17 @@ class LakeSpec extends AnyFunSuite {
     assert(again.snapshot.id == res.snapshot.id)
   }
 
+  test("clustering with the Hilbert curve also meets the prune bar") {
+    val t = LakeTable.create(spark, tmpTable("cluster-hilbert"), TranscriptSynth.schema)
+    val data = synth(600)
+    t.append(data.repartition(30), "init")
+    val pre = sortedRows(t.scan().df)
+    Clustering.cluster(t, "cluster-h", targetFileRows = 100, curve = "hilbert")
+    assert(sortedRows(t.scan().df) == pre)
+    val scan = t.scan(convRange = Some(("c00000100", "c00000109")))
+    assert(scan.prune.ratio >= 0.9, s"hilbert prune ratio ${scan.prune.ratio}")
+  }
+
   test("clustering incremental: range-local groups, interrupt + ledger resume") {
     val t = LakeTable.create(spark, tmpTable("cluster-inc"), TranscriptSynth.schema)
     val data = synth(300)
