@@ -289,6 +289,15 @@ object SparkEntry {
         .orderBy("event_id")
         .limit(1000)),
 
+    // --- grouping sets / rollup (Catalyst built-in; NULL subtotal rows) --
+    "q28_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // --- multimodal binary-column plumbing -------------------------------
     "q26_media_meta" -> ((s, d) => {
       val media = graft.functions.Multimodal.fakeMediaFromText(
@@ -459,6 +468,12 @@ object SparkEntry {
       """SELECT event_id,
         |  CASE WHEN event_type = 'error' THEN '''=cmd ' || props ELSE props END AS clean_text
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "q28_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q26_media_meta" ->
       """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
