@@ -205,6 +205,22 @@ object SparkEntry {
         t(s, d, "documents").where(col("doc_id") < 2000), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // SimHash banded-Hamming candidate join, checked by a RECALL INVARIANT
+    // that ANSI SQL can express: a corpus with known exact duplicates
+    // (each doc unioned with an id-shifted copy) must yield EVERY exact-dup
+    // pair among the simhash candidates — the semi-join result equals the
+    // plain SQL self-join on text, so any missed pair breaks the row hash.
+    "q16b_simhash_pairs" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val cands = Dedup.simhashCandidatePairs(corpus, "doc_id", "text", maxBucket = 5000)
+      val exact = corpus.as("x").join(corpus.as("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      exact.join(cands, Seq("id_a", "id_b"), "left_semi")
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- embedding similarity ------------------------------------------
     "q17_cosine_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -280,7 +296,7 @@ object SparkEntry {
         .orderBy("event_id")
         .limit(500)),
 
-    // --- zorder key as a query (library surface; no SQL twin) -----------
+    // --- zorder key as a query (SQL twin: explicit 10-bit interleave) ---
     "q25_zorder_key" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_id"),
@@ -436,6 +452,35 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE i >= 15 ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q16b_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |FROM corpus x JOIN corpus y ON x.text = y.text AND x.doc_id < y.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // brute-force ANN: ranking computed on full-precision doubles in both
+    // engines (explicit CASTs keep DuckDB off float32 arithmetic); output
+    // is rank+id only — ranks are stable because random 64-dim cosines are
+    // well separated, and ties break on cand_id in both engines.
+    "q18_ann_topk" ->
+      """WITH pos AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    sum(CAST(list_extract(q.embedding, p.i) AS DOUBLE) * CAST(list_extract(c.embedding, p.i) AS DOUBLE)) AS ab,
+        |    sum(CAST(list_extract(q.embedding, p.i) AS DOUBLE) * CAST(list_extract(q.embedding, p.i) AS DOUBLE)) AS aa,
+        |    sum(CAST(list_extract(c.embedding, p.i) AS DOUBLE) * CAST(list_extract(c.embedding, p.i) AS DOUBLE)) AS bb
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  CROSS JOIN pos p WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, cand_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ab / (sqrt(aa) * sqrt(bb)) DESC, cand_id ASC) AS INT) AS rnk
+        |  FROM dots)
+        |SELECT query_id, rnk AS "rank", cand_id FROM ranked
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "q17_cosine_pairs" ->
       """WITH pos AS (SELECT i FROM generate_series(1, 64) AS g(i)),
         |dots AS (
@@ -463,6 +508,17 @@ object SparkEntry {
 
     "q22_vertical_ingest" -> IngestFixtures.verticalOracleSql,
     "q23_dialect_ingest" -> IngestFixtures.semicolonOracleSql,
+
+    // zorder64 semantics in plain arithmetic: bit i of the first (10-bit)
+    // key lands at position 2i+1, bit i of the second at 2i (Morton.scala).
+    "q25_zorder_key" -> {
+      val terms = (0 until 10).flatMap { i => Seq(
+        s"(((user_id % 1024) >> $i) & 1) * ${1L << (2 * i + 1)}",
+        s"(((event_id % 1024) >> $i) & 1) * ${1L << (2 * i)}")
+      }
+      s"""SELECT event_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+         |FROM events ORDER BY event_id LIMIT 1000""".stripMargin
+    },
 
     "q24_sanitize" ->
       """SELECT event_id,

@@ -76,6 +76,47 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast(LongType)
 
+  /** SimHash near-duplicate CANDIDATE pairs via banded Hamming join: the
+    * 64-bit fingerprint splits into `bands` chunks (4 x 16 bits by default);
+    * by pigeonhole, two fingerprints within Hamming distance `bands - 1`
+    * (default <=3) MUST agree on at least one whole chunk, so joining on
+    * (band index, chunk value) guarantees recall for Hamming <= bands-1 —
+    * and in particular 100% recall for exact duplicates (distance 0). The
+    * join is bucket-local, not all-pairs; `maxBucket` drops degenerate
+    * buckets (e.g. the all-zeros chunk of empty docs) so one hot bucket
+    * cannot go quadratic — same hygiene as [[minhashCandidatePairs]].
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming.
+    */
+  def simhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    val chunkBits = 64 / bands
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val fp = simhashDf(df, idCol, textCol)
+    val banded = fp.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("simhash"), b * chunkBits).bitwiseAND(mask)
+      }: _*)).as(Seq("band_idx", "chunk")))
+    val capped = banded
+      .withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "chunk")))
+      .where(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+    capped.as("a").join(capped.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct() // pairs sharing several bands appear once
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Aggregate-shaped SimHash over a whole frame: explode tokens, vote per
     * bit via 64 conditional sums (map-side partial aggregation), fold the
     * signs. Same result as [[simhash64]] but the per-token work is done
@@ -96,6 +137,39 @@ object Dedup {
         (0 until 64).map { j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Exact token-Jaccard candidate pairs with a DOCUMENT-FREQUENCY cap:
+    * tokens appearing in more than `maxDF` documents (stopwords, boilerplate)
+    * are dropped BEFORE the self-join — without the cap, a token shared by
+    * f documents contributes f^2/2 joined pairs, so corpus-scale stopwords
+    * go quadratic. With it, pair count is bounded by sum over kept tokens of
+    * df^2/2 <= maxDF/2 * total kept postings (linear in corpus size for
+    * fixed maxDF). Intersection/union are computed over the CAPPED
+    * vocabulary on both sides, so the ratio stays a true Jaccard of the
+    * filtered token sets. Returns (doc_a, doc_b, inter, uni).
+    */
+  def jaccardCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minIntersection: Int = 1, maxDF: Int = 1000): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(TextMetrics.tokens(col(textCol))).as("w")).distinct()
+    val kept = words
+      .withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("w")))
+      .where(col("__df") <= maxDF)
+      .drop("__df")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= minIntersection)
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
   }
 
   /** MinHash-LSH near-duplicate candidate pairs over (idCol, textCol).

@@ -62,13 +62,22 @@ object VectorOps {
   /** Approximate top-k: join only within the LSH bucket (same sign pattern).
     * Recall < 1.0 by construction; scale path for ANN over 100 TB — the
     * cartesian becomes bucket-local (expected bucket size n / 2^planes).
+    * A DEGENERATE bucket (e.g. the all-zeros sign pattern collecting a
+    * constant-sign slice of the corpus) would go quadratic: `maxBucket`
+    * keeps only the first `maxBucket` members per bucket (deterministic by
+    * id), bounding any bucket's join to maxBucket^2 — same hygiene as
+    * [[Dedup.minhashCandidatePairs]].
     */
   def lshBucketTopK(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, nPlanes: Int = 8): DataFrame = {
+      k: Int, nPlanes: Int = 8, maxBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
+      .withColumn("__bn",
+        row_number().over(Window.partitionBy("bucket").orderBy("id")))
+      .where(col("__bn") <= maxBucket)
+      .drop("__bn")
     val a = withB.select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
     val b = withB.select(col("id").as("cand_id"), col("v").as("cv"), col("bucket"))
     val scored = a.join(b, Seq("bucket"))

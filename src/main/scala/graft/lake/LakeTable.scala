@@ -1,7 +1,7 @@
 package graft.lake
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, FileAlreadyExistsException, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,19 +14,31 @@ import scala.jdk.CollectionConverters._
   *
   * Layout under `root`:
   * {{{
-  *   data/<uuid>-<n>.parquet        immutable data files
-  *   metadata/snap-<id>.json        snapshots (schema + manifest list)
-  *   metadata/manifest-<id>-<k>.json manifests (DataFile entries)
-  *   metadata/version-hint.txt      current snapshot id (atomic pointer)
-  *   _ledger/<job>/...              maintenance checkpoint ledger
+  *   data/<tag>-<uuid>-<n>.parquet   immutable data files (never overwritten)
+  *   metadata/snap-<id>.json         snapshots (schema + manifest refs w/ stats)
+  *   metadata/manifest-<id>-<u>-<k>.json manifests (DataFile entries)
+  *   metadata/version-hint.txt       current snapshot id (atomic pointer)
+  *   _ledger/<job>/...               maintenance checkpoint ledger
   * }}}
   *
-  * Commit protocol (single maintenance writer, like the reference's single
-  * APScheduler job, main.py:40-46): write all manifests + the snapshot JSON
-  * first (new files, never overwritten), then atomically move a temp
-  * version-hint over the pointer. Readers resolve the pointer once and pin
-  * that snapshot — maintenance committing S+1 never disturbs a reader of S
-  * (immutable files + versioned metadata = snapshot isolation).
+  * Commit protocol: write all NEW manifests + the snapshot JSON first (new
+  * files, never overwritten — snap-<id>.json is opened CREATE_NEW, so two
+  * writers racing to the same parent cannot both win: the loser gets
+  * [[CommitConflictException]] instead of silently clobbering the other's
+  * commit), then atomically move a temp version-hint over the pointer.
+  * Readers resolve the pointer once and pin that snapshot — maintenance
+  * committing S+1 never disturbs a reader of S (immutable files + versioned
+  * metadata = snapshot isolation).
+  *
+  * Scale posture (10^12 turns / ~10^6 data files):
+  *   - commits are O(changed files): [[commitDelta]] carries forward parent
+  *     manifests untouched by the delta VERBATIM (same metadata file, no
+  *     re-serialization) and writes new manifests only for survivors of
+  *     touched manifests + added entries;
+  *   - scans are O(overlapping metadata): per-manifest key ranges persisted
+  *     in the snapshot ([[ManifestRef]]) let planning skip whole manifests
+  *     without opening them; only overlapping manifests are parsed, then
+  *     per-file stats prune within them.
   */
 class LakeTable(val root: String, val spark: SparkSession) {
   import LakeTable._
@@ -60,38 +72,58 @@ class LakeTable(val root: String, val spark: SparkSession) {
       Files.readString(metaDir.resolve(path))))
 
   def dataFiles(s: Snapshot): Vector[DataFile] =
-    s.manifestPaths.flatMap(p => manifest(p).entries)
+    s.manifests.flatMap(r => manifest(r.path).entries)
+
+  /** Data files with their source-manifest provenance — what maintenance
+    * passes to [[commitDelta]] as `removed`, so the commit opens only the
+    * manifests it actually touches.
+    */
+  def fileEntries(s: Snapshot): Vector[FileEntry] =
+    s.manifests.flatMap(r => manifest(r.path).entries.map(FileEntry(r.path, _)))
 
   def currentFiles: Vector[DataFile] = currentSnapshot.map(dataFiles).getOrElse(Vector.empty)
+
+  def currentEntries: Vector[FileEntry] =
+    currentSnapshot.map(fileEntries).getOrElse(Vector.empty)
 
   def schema: TableSchema = currentSnapshot.map(_.schema).getOrElse(
     throw new IllegalStateException(s"table at $root has no snapshot"))
 
   def absData(rel: String): String = Paths.get(root, rel).toString
 
-  // ---- scan with manifest pruning ---------------------------------------
+  // ---- scan with manifest + file pruning ---------------------------------
 
-  final case class PruneStats(totalFiles: Long, selectedFiles: Long) {
+  final case class PruneStats(totalFiles: Long, selectedFiles: Long,
+                              totalManifests: Long = 0L, openedManifests: Long = 0L) {
     def ratio: Double = if (totalFiles == 0) 0.0 else 1.0 - selectedFiles.toDouble / totalFiles
   }
 
   final case class Scan(df: DataFrame, prune: PruneStats)
 
   /** Read a snapshot (default current) pruned by optional conv_id /
-    * turn_idx ranges. Pruning happens at the METADATA level — unselected
-    * files never reach `spark.read` — and the residual predicate is still
-    * applied (and pushed into the Parquet row-group filter by Catalyst).
+    * turn_idx ranges. Pruning happens at TWO metadata levels — manifests
+    * whose persisted aggregate range misses the predicate are never OPENED
+    * (totalFiles still comes from their persisted entry counts), and files
+    * within overlapping manifests are pruned by per-file stats — and the
+    * residual predicate is still applied (pushed into the Parquet row-group
+    * filter by Catalyst).
     */
   def scan(convRange: Option[(String, String)] = None,
            turnRange: Option[(Int, Int)] = None,
            snapshotId: Option[Long] = None): Scan = {
     val snap = snapshotId.map(snapshot).orElse(currentSnapshot)
       .getOrElse(throw new IllegalStateException("no snapshot to scan"))
-    val files = dataFiles(snap)
+    val refs = snap.manifests
+    val overlapping = refs.filter { r =>
+      convRange.forall { case (lo, hi) => r.overlapsConv(lo, hi) } &&
+      turnRange.forall { case (lo, hi) => r.overlapsTurn(lo, hi) }
+    }
+    val files = overlapping.flatMap(r => manifest(r.path).entries)
     val selected = files.filter { f =>
       convRange.forall { case (lo, hi) => f.overlapsConv(lo, hi) } &&
       turnRange.forall { case (lo, hi) => f.overlapsTurn(lo, hi) }
     }
+    val totalFiles = refs.map(_.entryCount).sum
     val st = snap.schema.toStruct
     val base =
       if (selected.isEmpty)
@@ -101,7 +133,8 @@ class LakeTable(val root: String, val spark: SparkSession) {
       convRange.map { case (lo, hi) => col("conv_id").between(lo, hi) },
       turnRange.map { case (lo, hi) => col("turn_idx").between(lo, hi) }
     ).flatten.foldLeft(base)((d, p) => d.where(p))
-    Scan(filtered, PruneStats(files.size.toLong, selected.size.toLong))
+    Scan(filtered, PruneStats(totalFiles, selected.size.toLong,
+      refs.size.toLong, overlapping.size.toLong))
   }
 
   /** Stable user-facing read: current snapshot ordered by the table key. */
@@ -112,10 +145,14 @@ class LakeTable(val root: String, val spark: SparkSession) {
 
   /** Write `df` (already in table-schema column order) as data files and
     * return their entries with footer-derived stats. The data lands under
-    * data/ with unique names; nothing is committed yet.
+    * data/ with names made unique PER WRITE ATTEMPT (uuid segment): an
+    * at-least-once replay (streaming foreachBatch, checkpoint reset) can
+    * never silently overwrite files already referenced by a committed
+    * snapshot — collisions fail loudly instead. Nothing is committed yet.
     */
   def writeDataFiles(df: DataFrame, tag: String): Vector[DataFile] = {
-    val staging = Paths.get(root, s"_staging-$tag")
+    val unique = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Paths.get(root, s"_staging-$tag-$unique")
     // zstd: ~2x smaller files than snappy for this text-heavy schema —
     // scans read fewer bytes and maintenance I/O shifts toward CPU, which
     // scales with executors while disks don't.
@@ -127,8 +164,11 @@ class LakeTable(val root: String, val spark: SparkSession) {
     // Footer reads are independent metadata fetches — do them concurrently.
     val entries = graft.maintain.Parallel.mapInParallel(parts.zipWithIndex, 16) {
       case (p, i) =>
-        val rel = s"data/$tag-$i.parquet"
+        val rel = s"data/$tag-$unique-$i.parquet"
         val target = Paths.get(root, rel)
+        if (Files.exists(target))
+          throw new FileAlreadyExistsException(target.toString,
+            null, "data files are immutable; refusing to overwrite")
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
         val st = ParquetStats.read(target.toString, conf)
         DataFile(rel, st.rows, Files.size(target),
@@ -145,41 +185,89 @@ class LakeTable(val root: String, val spark: SparkSession) {
   def append(df: DataFrame, tag: String): Snapshot = {
     val entries = writeDataFiles(
       df.select(schema.fieldNames.map(n => col(s"`$n`")): _*), tag)
-    commit(currentFiles ++ entries, "append",
+    commitDelta(entries, Vector.empty, "append",
       summary = Map("append_tag" -> tag))
   }
 
-  /** Commit a new snapshot: entries grouped into manifests, snapshot JSON,
-    * then the atomic version-hint move.
+  /** Delta commit — O(changed files), the only commit path maintenance
+    * should use. Parent manifests containing no `removed` entry are carried
+    * forward VERBATIM (their metadata file is reused, not rewritten);
+    * manifests that do contain removed entries are opened once, their
+    * surviving entries joining `added` in freshly written manifests.
+    */
+  def commitDelta(added: Vector[DataFile], removed: Vector[FileEntry],
+                  operation: String,
+                  newSchema: Option[TableSchema] = None,
+                  summary: Map[String, String] = Map.empty,
+                  entriesPerManifest: Int = DefaultEntriesPerManifest): Snapshot = {
+    val parent = currentSnapshot
+    val removedByManifest: Map[String, Set[String]] =
+      removed.groupBy(_.manifest).map { case (m, es) => m -> es.map(_.file.path).toSet }
+    val parentRefs = parent.map(_.manifests).getOrElse(Vector.empty)
+    val (touched, carried) = parentRefs.partition(r => removedByManifest.contains(r.path))
+    val survivors = touched.flatMap { r =>
+      manifest(r.path).entries.filterNot(e => removedByManifest(r.path)(e.path))
+    }
+    finishCommit(parent, carried, survivors ++ added, operation, newSchema,
+      summary, entriesPerManifest)
+  }
+
+  /** Full commit: regroup ALL `newFiles` into fresh manifests. O(total
+    * files) metadata — reserved for table creation and explicit
+    * [[graft.maintain.ManifestRewrite]]; incremental ops use [[commitDelta]].
     */
   def commit(newFiles: Vector[DataFile], operation: String,
              newSchema: Option[TableSchema] = None,
              summary: Map[String, String] = Map.empty,
-             entriesPerManifest: Int = DefaultEntriesPerManifest): Snapshot = {
+             entriesPerManifest: Int = DefaultEntriesPerManifest): Snapshot =
+    finishCommit(currentSnapshot, Vector.empty, newFiles, operation, newSchema,
+      summary, entriesPerManifest)
+
+  private def finishCommit(parent: Option[Snapshot], carried: Vector[ManifestRef],
+                           fresh: Vector[DataFile], operation: String,
+                           newSchema: Option[TableSchema],
+                           summary: Map[String, String],
+                           entriesPerManifest: Int): Snapshot = {
     Files.createDirectories(metaDir)
-    val parent = currentSnapshot
     val id = parent.map(_.id + 1).getOrElse(1L)
     val seq = parent.map(_.sequence + 1).getOrElse(1L)
     val sch = newSchema.orElse(parent.map(_.schema)).getOrElse(
       throw new IllegalStateException("first commit must provide a schema"))
 
-    // Manifests grouped by key range (sorted by min conv/turn) so future
-    // planning can skip whole manifests.
-    val sorted = newFiles.sortBy(f => (f.minConv.getOrElse(""), f.minTurn.getOrElse(0)))
-    val manifests = sorted.grouped(entriesPerManifest).zipWithIndex.map {
+    // New manifests grouped by key range (sorted by min conv/turn) so scan
+    // planning can skip whole manifests. Names carry a uuid segment: a
+    // failed commit attempt's orphan can never be overwritten into a file
+    // some committed snapshot references.
+    val unique = java.util.UUID.randomUUID().toString.take(8)
+    val sorted = fresh.sortBy(f => (f.minConv.getOrElse(""), f.minTurn.getOrElse(0)))
+    val newRefs = sorted.grouped(entriesPerManifest).zipWithIndex.map {
       case (group, k) =>
-        val rel = s"manifest-$id-$k.json"
+        val rel = s"manifest-$id-$unique-$k.json"
         writeString(metaDir.resolve(rel),
           MetaJson.write(MetaJson.manifestToJson(Manifest(rel, group.toVector))))
-        rel
+        ManifestRef.of(rel, group.toVector)
     }.toVector
 
+    val refs = carried ++ newRefs
     val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), seq,
-      System.currentTimeMillis(), operation, sch, manifests,
-      summary ++ Map("total_files" -> newFiles.size.toString,
-        "total_rows" -> newFiles.map(_.rows).sum.toString))
-    writeString(metaDir.resolve(s"snap-$id.json"),
-      MetaJson.write(MetaJson.snapshotToJson(snap)))
+      System.currentTimeMillis(), operation, sch, refs,
+      summary ++ Map("total_files" -> refs.map(_.entryCount).sum.toString,
+        "total_rows" -> refs.map(_.rows).sum.toString,
+        "carried_manifests" -> carried.size.toString,
+        "new_manifests" -> newRefs.size.toString))
+
+    // CREATE_NEW: concurrent committers race to the same id; exactly one
+    // wins, the other surfaces a conflict instead of silently clobbering.
+    val snapPath = metaDir.resolve(s"snap-$id.json")
+    try Files.write(snapPath,
+      MetaJson.write(MetaJson.snapshotToJson(snap)).getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"snapshot $id already committed by a concurrent writer (table $root); " +
+            "re-read the table and retry the operation")
+    }
 
     // Atomic pointer swing — the only mutation in the whole protocol.
     val tmp = metaDir.resolve(s"version-hint.tmp-$id")
@@ -192,6 +280,11 @@ class LakeTable(val root: String, val spark: SparkSession) {
 
 object LakeTable {
   val DefaultEntriesPerManifest = 1000
+
+  /** A data file plus the manifest it currently lives in. */
+  final case class FileEntry(manifest: String, file: DataFile)
+
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
   def create(spark: SparkSession, root: String, schema: StructType): LakeTable = {
     val t = new LakeTable(root, spark)

@@ -87,6 +87,46 @@ final case class Manifest(path: String, entries: Vector[DataFile]) {
   def maxConv: Option[String] = { val ms = entries.flatMap(_.maxConv); if (ms.isEmpty) None else Some(ms.max) }
 }
 
+/** Snapshot-level manifest entry: path + aggregate stats persisted IN the
+  * snapshot, so scan planning prunes whole manifests without opening them
+  * and commits sum file/row totals without re-reading carried manifests.
+  * Missing bounds (no stats in any entry) disable pruning — always scanned.
+  */
+final case class ManifestRef(
+    path: String,
+    entryCount: Long,
+    rows: Long,
+    minConv: Option[String],
+    maxConv: Option[String],
+    minTurn: Option[Int],
+    maxTurn: Option[Int]) {
+
+  def overlapsConv(lo: String, hi: String): Boolean = (minConv, maxConv) match {
+    case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
+    case _ => true
+  }
+  def overlapsTurn(lo: Int, hi: Int): Boolean = (minTurn, maxTurn) match {
+    case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
+    case _ => true
+  }
+}
+
+object ManifestRef {
+  /** Aggregate a manifest's entries into its snapshot-level ref. A single
+    * stats-less entry widens the bound to "unknown" (never-pruned), keeping
+    * manifest-level pruning exactly as safe as file-level pruning.
+    */
+  def of(path: String, entries: Vector[DataFile]): ManifestRef = {
+    def agg[T: Ordering](get: DataFile => Option[T], pick: Vector[T] => T): Option[T] = {
+      val vs = entries.map(get)
+      if (vs.isEmpty || vs.exists(_.isEmpty)) None else Some(pick(vs.flatten))
+    }
+    ManifestRef(path, entries.size.toLong, entries.map(_.rows).sum,
+      agg[String](_.minConv, _.min), agg[String](_.maxConv, _.max),
+      agg[Int](_.minTurn, _.min), agg[Int](_.maxTurn, _.max))
+  }
+}
+
 final case class Snapshot(
     id: Long,
     parentId: Long, // -1 = none
@@ -94,8 +134,10 @@ final case class Snapshot(
     timestampMs: Long,
     operation: String,
     schema: TableSchema,
-    manifestPaths: Vector[String],
-    summary: Map[String, String])
+    manifests: Vector[ManifestRef],
+    summary: Map[String, String]) {
+  def manifestPaths: Vector[String] = manifests.map(_.path)
+}
 
 /** Hand-rolled JSON codecs over Jackson (bundled with Spark — no new deps).
   * Explicit tree construction: no reflection, stable field order.
@@ -144,13 +186,27 @@ object MetaJson {
   def manifestFromJson(path: String, n: JsonNode): Manifest =
     Manifest(path, iter(n.get("entries")).map(dataFileFromJson).toVector)
 
+  def manifestRefToJson(r: ManifestRef): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("path", r.path); o.put("entry_count", r.entryCount); o.put("rows", r.rows)
+    r.minConv.foreach(o.put("min_conv", _)); r.maxConv.foreach(o.put("max_conv", _))
+    r.minTurn.foreach(o.put("min_turn", _)); r.maxTurn.foreach(o.put("max_turn", _))
+    o
+  }
+
+  def manifestRefFromJson(n: JsonNode): ManifestRef = ManifestRef(
+    n.get("path").asText, n.get("entry_count").asLong, n.get("rows").asLong,
+    opt(n, "min_conv").map(_.asText), opt(n, "max_conv").map(_.asText),
+    opt(n, "min_turn").map(_.asInt), opt(n, "max_turn").map(_.asInt))
+
   def snapshotToJson(s: Snapshot): ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("snapshot_id", s.id); o.put("parent_id", s.parentId)
     o.put("sequence", s.sequence); o.put("timestamp_ms", s.timestampMs)
     o.put("operation", s.operation)
     o.set[ObjectNode]("schema", schemaToJson(s.schema))
-    val mf = o.putArray("manifests"); s.manifestPaths.foreach(mf.add)
+    val mf = o.putArray("manifests")
+    s.manifests.foreach(r => mf.add(manifestRefToJson(r)))
     val sm = o.putObject("summary")
     s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
     o
@@ -164,7 +220,7 @@ object MetaJson {
       n.get("snapshot_id").asLong, n.get("parent_id").asLong,
       n.get("sequence").asLong, n.get("timestamp_ms").asLong,
       n.get("operation").asText, schemaFromJson(n.get("schema")),
-      iter(n.get("manifests")).map(_.asText).toVector, sm)
+      iter(n.get("manifests")).map(manifestRefFromJson).toVector, sm)
   }
 
   def write(n: ObjectNode): String =

@@ -71,7 +71,8 @@ object Clustering {
     }
     val groups = plan.groups
 
-    val byPath = table.currentFiles.map(f => f.path -> f).toMap
+    val entryByPath = table.currentEntries.map(e => e.file.path -> e).toMap
+    val byPath = (p: String) => entryByPath(p).file
     val done = Ledger.readTasks(table, jobId).filter(_._2.state == "done")
     val resumedCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val rewrittenRows = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -81,35 +82,45 @@ object Clustering {
       done.get(gi) match {
         case Some(t) => resumedCount.incrementAndGet(); t.outFiles
         case None =>
-          if (executedCount.getAndIncrement() >= interruptAfter)
-            throw new InterruptedException(s"chaos interrupt after $interruptAfter groups")
           val t0 = System.nanoTime()
           val inFiles = paths.map(byPath(_))
           val bytes = inFiles.map(_.bytes).sum
           val rows = inFiles.map(_.rows).sum
-          val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+          try {
+            if (executedCount.getAndIncrement() >= interruptAfter)
+              throw new InterruptedException(s"chaos interrupt after $interruptAfter groups")
+            val nOut = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
 
-          val zkey =
-            if (plan.curve == "hilbert")
-              ZOrder.quantileHilbertKey(col("conv_id"), col("turn_idx"),
+            val zkey =
+              if (plan.curve == "hilbert")
+                ZOrder.quantileHilbertKey(col("conv_id"), col("turn_idx"),
+                  plan.convCuts, plan.turnCuts)
+              else ZOrder.quantileClusterKey(col("conv_id"), col("turn_idx"),
                 plan.convCuts, plan.turnCuts)
-            else ZOrder.quantileClusterKey(col("conv_id"), col("turn_idx"),
-              plan.convCuts, plan.turnCuts)
-          val salt = pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salts))
-          val df = spark.read.schema(table.schema.toStruct)
-            .parquet(paths.map(table.absData): _*)
-            .withColumn("__zkey", zkey)
-            .withColumn("__salt", salt)
-            .repartitionByRange(nOut, col("__zkey"), col("__salt"))
-            .sortWithinPartitions(col("__zkey"))
-            .drop("__zkey", "__salt")
+            val salt = pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salts))
+            val df = spark.read.schema(table.schema.toStruct)
+              .parquet(paths.map(table.absData): _*)
+              .withColumn("__zkey", zkey)
+              .withColumn("__salt", salt)
+              .repartitionByRange(nOut, col("__zkey"), col("__salt"))
+              .sortWithinPartitions(col("__zkey"))
+              .drop("__zkey", "__salt")
 
-          val out = table.writeDataFiles(df, s"$jobId-g$gi")
-          rewrittenRows.addAndGet(rows)
-          Ledger.writeTask(table, Ledger.TaskRow(
-            jobId, gi, "done", paths, out, rows, bytes,
-            (System.nanoTime() - t0) / 1000000))
-          out
+            val out = table.writeDataFiles(df, s"$jobId-g$gi")
+            rewrittenRows.addAndGet(rows)
+            Ledger.writeTask(table, Ledger.TaskRow(
+              jobId, gi, "done", paths, out, rows, bytes,
+              (System.nanoTime() - t0) / 1000000))
+            out
+          } catch { case e: Throwable =>
+            // Failed groups leave an `error` row with the message (reference
+            // parity: file_repository.py:95-109); resume recomputes them —
+            // writeTask's atomic replace flips error -> done on success.
+            Ledger.writeTask(table, Ledger.TaskRow(jobId, gi, "error", paths,
+              Vector.empty, rows, bytes, (System.nanoTime() - t0) / 1000000,
+              errorMessage = String.valueOf(e.getMessage)))
+            throw e
+          }
       }
 
     // Groups are independent: submit concurrently (each is its own shuffle)
@@ -126,8 +137,8 @@ object Clustering {
 
     val tCommit = System.nanoTime()
     val inputSet = groups.flatten.toSet
-    val carried = table.currentFiles.filterNot(f => inputSet(f.path))
-    val snap = table.commit(carried ++ outputs.flatten, "cluster",
+    val removed = inputSet.toVector.sorted.map(entryByPath(_))
+    val snap = table.commitDelta(outputs.flatten, removed, "cluster",
       summary = Map("job_id" -> jobId,
         "groups" -> groups.size.toString,
         "rows_rewritten" -> rewritten.toString))

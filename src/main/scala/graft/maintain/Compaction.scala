@@ -42,7 +42,8 @@ object Compaction {
 
     if (plannedBins.isEmpty) return Result(None, 0, 0, 0)
 
-    val byPath = table.currentFiles.map(f => f.path -> f).toMap
+    val entryByPath = table.currentEntries.map(e => e.file.path -> e).toMap
+    val byPath = (p: String) => entryByPath(p).file
     val done = Ledger.readTasks(table, jobId).filter(_._2.state == "done")
     val resumedCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -56,22 +57,33 @@ object Compaction {
           case None =>
             val t0 = System.nanoTime()
             val inFiles = paths.map(byPath(_))
-            val df = spark.read.schema(table.schema.toStruct)
-              .parquet(paths.map(table.absData): _*)
-              .coalesce(1) // merge partitions without shuffling
-              .sortWithinPartitions(col("conv_id"), col("turn_idx"))
-            val out = table.writeDataFiles(df, s"$jobId-b$bi")
-            Ledger.writeTask(table, Ledger.TaskRow(jobId, bi, "done", paths, out,
-              inFiles.map(_.rows).sum, inFiles.map(_.bytes).sum,
-              (System.nanoTime() - t0) / 1000000))
-            out
+            try {
+              val df = spark.read.schema(table.schema.toStruct)
+                .parquet(paths.map(table.absData): _*)
+                .coalesce(1) // merge partitions without shuffling
+                .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+              val out = table.writeDataFiles(df, s"$jobId-b$bi")
+              Ledger.writeTask(table, Ledger.TaskRow(jobId, bi, "done", paths, out,
+                inFiles.map(_.rows).sum, inFiles.map(_.bytes).sum,
+                (System.nanoTime() - t0) / 1000000))
+              out
+            } catch { case e: Throwable =>
+              // Failed tasks leave an `error` row (reference parity:
+              // file_repository.py:95-109 pending->processed/error with
+              // error_message); resume recomputes them.
+              Ledger.writeTask(table, Ledger.TaskRow(jobId, bi, "error", paths,
+                Vector.empty, inFiles.map(_.rows).sum, inFiles.map(_.bytes).sum,
+                (System.nanoTime() - t0) / 1000000,
+                errorMessage = String.valueOf(e.getMessage)))
+              throw e
+            }
         }
     }
     val resumed = resumedCount.get()
 
     val inputSet = plannedBins.flatten.toSet
-    val carried = table.currentFiles.filterNot(f => inputSet(f.path))
-    val snap = table.commit(carried ++ outputs.flatten, "compact",
+    val removed = inputSet.toVector.sorted.map(entryByPath(_))
+    val snap = table.commitDelta(outputs.flatten, removed, "compact",
       summary = Map("job_id" -> jobId,
         "bins" -> plannedBins.size.toString,
         "files_compacted" -> inputSet.size.toString))

@@ -27,7 +27,8 @@ object Ledger {
   final case class TaskRow(
       jobId: String, taskId: Int, state: String,
       inFiles: Vector[String], outFiles: Vector[DataFile],
-      rows: Long, bytes: Long, durationMs: Long)
+      rows: Long, bytes: Long, durationMs: Long,
+      errorMessage: String = "")
 
   private def jobDir(table: LakeTable, jobId: String) =
     table.ledgerDir.resolve(jobId)
@@ -81,6 +82,7 @@ object Ledger {
     o.put("job_id", row.jobId); o.put("task_id", row.taskId)
     o.put("state", row.state); o.put("rows", row.rows)
     o.put("bytes", row.bytes); o.put("duration_ms", row.durationMs)
+    if (row.errorMessage.nonEmpty) o.put("error_message", row.errorMessage)
     val inA = o.putArray("in_files"); row.inFiles.foreach(inA.add)
     val outA = o.putArray("out_files")
     row.outFiles.foreach(f => outA.add(MetaJson.dataFileToJson(f)))
@@ -100,7 +102,8 @@ object Ledger {
     n.get("job_id").asText, n.get("task_id").asInt, n.get("state").asText,
     n.get("in_files").elements().asScala.map(_.asText).toVector,
     n.get("out_files").elements().asScala.map(MetaJson.dataFileFromJson).toVector,
-    n.get("rows").asLong, n.get("bytes").asLong, n.get("duration_ms").asLong)
+    n.get("rows").asLong, n.get("bytes").asLong, n.get("duration_ms").asLong,
+    Option(n.get("error_message")).map(_.asText).getOrElse(""))
 
   /** Ledger as a DataFrame for metrics/reporting queries. */
   def asDataFrame(table: LakeTable, spark: SparkSession): DataFrame = {
@@ -110,9 +113,9 @@ object Ledger {
       .filter(p => p.getFileName.toString.startsWith("task-")).toVector
       .map(p => taskFromJson(MetaJson.read(Files.readString(p))))
       .map(t => (t.jobId, t.taskId, t.state, t.inFiles.size, t.outFiles.size,
-        t.rows, t.bytes, t.durationMs))
+        t.rows, t.bytes, t.durationMs, t.errorMessage))
     rows.toDF("job_id", "task_id", "state", "n_in_files", "n_out_files",
-      "rows", "bytes", "duration_ms")
+      "rows", "bytes", "duration_ms", "error_message")
   }
 
   private def atomicWrite(table: LakeTable, jobId: String, name: String, body: String): Unit = {

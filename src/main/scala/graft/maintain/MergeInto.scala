@@ -3,9 +3,11 @@ package graft.maintain
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
+import org.apache.spark.storage.StorageLevel
 
 import graft.ingest.Normalize
-import graft.lake.{DataFile, LakeTable, Snapshot}
+import graft.lake.{LakeTable, Snapshot}
+import graft.lake.LakeTable.FileEntry
 
 /** MERGE INTO keyed on (conv_id, turn_idx) with the reference's
   * non-empty-wins update semantics (`_group_records_by_id`,
@@ -14,15 +16,17 @@ import graft.lake.{DataFile, LakeTable, Snapshot}
   * keys insert.
   *
   * Physical plan, scale-aware:
-  *   1. staged key range (one cheap agg) -> manifest pre-filter: only
-  *      target files whose (conv_id) stats overlap the staged range are
-  *      rewritten — a merge touching 0.1% of conversations rewrites 0.1%
-  *      of the table, not all of it;
-  *   2. full-outer sort-merge join on the key (full outer cannot
+  *   1. the staged pipeline (align -> validate -> in-batch dedup) is
+  *      persisted and evaluated ONCE — counts, the key-range agg and the
+  *      join all read the cached frame, not re-run the groupBy;
+  *   2. staged key range (one agg) -> manifest pre-filter: only target
+  *      files whose (conv_id) stats overlap the staged range are rewritten —
+  *      a merge touching 0.1% of conversations rewrites 0.1% of the table;
+  *   3. full-outer sort-merge join on the key (full outer cannot
   *      broadcast; both sides shuffle once on the key);
-  *   3. per-column coalesce(nullif(staged, ''), target);
-  *   4. range-repartition + sort on the cluster key, write, commit:
-  *      untouched files carry over into the new snapshot untouched.
+  *   4. per-column coalesce(nullif(staged, ''), target);
+  *   5. range-repartition + sort on the cluster key, write, commitDelta:
+  *      untouched files AND their manifests carry over verbatim.
   */
 object MergeInto {
 
@@ -32,54 +36,58 @@ object MergeInto {
   /** `staged`: an all-string (or already-typed) drop frame; columns are
     * aligned by trimmed name, schema evolves append-only. If `staged` has a
     * `_seq` column it orders duplicate-key resolution within the batch
-    * (last non-empty wins), mirroring drop-file line order.
+    * (last non-empty wins), mirroring drop-file line order; without one, a
+    * partition-major row id stands in (read order for file-backed frames).
     */
   def merge(table: LakeTable, staged: DataFrame, tag: String,
             targetFileRows: Long = 1L << 20): Result = {
     val spark = table.spark
     // `_seq` is a control column (duplicate-key ordering within the batch),
     // never table data — pass it through alignment without schema evolution.
+    val withSeq =
+      if (staged.columns.contains("_seq")) staged
+      else staged.withColumn("_seq", monotonically_increasing_id())
     val (alignedAll, evolvedSchema) = Normalize.alignToSchema(
-      staged, table.schema, passthrough = Seq("_seq"))
-    val (valid0, rejected) = Normalize.routeInvalid(alignedAll)
-    val rejectedRows = rejected.count()
+      withSeq, table.schema, passthrough = Seq("_seq"))
+    val aligned = alignedAll.persist(StorageLevel.MEMORY_AND_DISK)
+    val (valid0, rejected) = Normalize.routeInvalid(aligned)
 
     // Resolve duplicate keys INSIDE the batch first (reference: later
     // records in one file overwrite non-empty field-by-field).
-    val ord: Column =
-      if (staged.columns.contains("_seq")) col("_seq") else lit(0L)
     val dataFields = evolvedSchema.fields.filterNot(f =>
       f.name == "conv_id" || f.name == "turn_idx")
-    val stagedSeq = valid0.withColumn("__ord", ord)
+    val stagedSeq = valid0.withColumn("__ord", col("_seq"))
     val aggs = dataFields.map { f =>
       val w = if (f.dataType == StringType)
         graft.ingest.Grouping.lastNonEmptyWins(col(s"`${f.name}`"), col("__ord"))
       else graft.ingest.Grouping.lastNonNullWins(col(s"`${f.name}`"), col("__ord"))
       w.as(f.name)
     }
-    val dedup =
+    val dedup0 =
       if (aggs.isEmpty) stagedSeq.select("conv_id", "turn_idx").distinct()
       else stagedSeq.groupBy(col("conv_id"), col("turn_idx")).agg(aggs.head, aggs.tail: _*)
+    val dedup = dedup0.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val stagedRows = dedup.count()
+    // ONE action computes count + key range (materializing the cache);
+    // rejectedRows then reads the cached aligned frame.
+    val aggRow = dedup.agg(count(lit(1)), min("conv_id"), max("conv_id")).head()
+    val stagedRows = aggRow.getLong(0)
+    val (lo, hi) = (Option(aggRow.getString(1)), Option(aggRow.getString(2)))
+    val rejectedRows = rejected.count()
 
-    // Key range of the staged batch -> prune the rewrite set.
-    val rangeRow = dedup.agg(min("conv_id"), max("conv_id")).head()
-    val (lo, hi) = (Option(rangeRow.getString(0)), Option(rangeRow.getString(1)))
-
-    val files = table.currentFiles
+    val entries = table.currentEntries
     val touched = (lo, hi) match {
-      case (Some(l), Some(h)) => files.filter(_.overlapsConv(l, h))
-      case _ => Vector.empty[DataFile]
+      case (Some(l), Some(h)) => entries.filter(_.file.overlapsConv(l, h))
+      case _ => Vector.empty[FileEntry]
     }
-    val carried = files.filterNot(touched.toSet)
+    val carried = entries.size - touched.size
 
     val st = evolvedSchema.toStruct
     val target =
       if (touched.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), st)
       else spark.read.schema(table.schema.toStruct)
-        .parquet(touched.map(f => table.absData(f.path)): _*)
+        .parquet(touched.map(e => table.absData(e.file.path)): _*)
 
     val t = target.as("t")
     val s = dedup.as("s")
@@ -105,7 +113,7 @@ object MergeInto {
       .select(evolvedSchema.fieldNames.map(n => col(s"`$n`")): _*)
 
     // Size output files by rows (we know exact input rows cheaply).
-    val totalRows = touched.map(_.rows).sum + stagedRows
+    val totalRows = touched.map(_.file.rows).sum + stagedRows
     val nOut = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     // Range-partition directly on the key: merge outputs get tight per-file
     // conv ranges (prunable); the balanced Z-curve belongs to Clustering.
@@ -114,11 +122,13 @@ object MergeInto {
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
 
     val newEntries = table.writeDataFiles(out, tag)
-    val snap = table.commit(carried ++ newEntries, "merge", Some(evolvedSchema),
+    aligned.unpersist()
+    dedup.unpersist()
+    val snap = table.commitDelta(newEntries, touched, "merge", Some(evolvedSchema),
       Map("merge_tag" -> tag,
         "staged_rows" -> stagedRows.toString,
         "rejected_rows" -> rejectedRows.toString,
         "touched_files" -> touched.size.toString))
-    Result(snap, touched.size, carried.size, stagedRows, rejectedRows)
+    Result(snap, touched.size, carried, stagedRows, rejectedRows)
   }
 }

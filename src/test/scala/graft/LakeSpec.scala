@@ -164,8 +164,20 @@ class LakeSpec extends AnyFunSuite {
       Clustering.cluster(t, "cluster-job-2", targetFileRows = 200,
         groupTargetBytes = 32L << 10, interruptAfter = 1)
     }
+    // the failed group left an `error` ledger row with the message
+    val errRows = Ledger.asDataFrame(t, spark)
+      .where(col("job_id") === "cluster-job-2" && col("state") === "error")
+      .select("task_id", "error_message").collect()
+    assert(errRows.length == 1, "interrupted group must checkpoint an error row")
+    assert(errRows.head.getString(1).contains("chaos interrupt"))
+    val errTaskId = errRows.head.getInt(0)
+
     val res = Clustering.cluster(t, "cluster-job-2", targetFileRows = 200,
       groupTargetBytes = 32L << 10)
+    // resume recomputed the error task and flipped its row to done
+    assert(Ledger.readTasks(t, "cluster-job-2")(errTaskId).state == "done")
+    assert(Ledger.asDataFrame(t, spark)
+      .where(col("job_id") === "cluster-job-2" && col("state") === "error").count() == 0)
     assert(res.groups >= 2, "range-local input must plan multiple groups")
     assert(res.resumedGroups >= 1, "must reuse the checkpointed group")
 
@@ -222,6 +234,73 @@ class LakeSpec extends AnyFunSuite {
     assert(snap.manifestPaths.size >= 4) // 12 files / 3 per manifest
     assert(t.currentFiles.map(_.path).toSet == dataFilesBefore)
     assert(sortedRows(t.scan().df) == pre)
+  }
+
+  test("commitDelta: a small merge carries untouched manifests forward verbatim") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("manifest-reuse"), TranscriptSynth.schema)
+    t.append(synth(120).repartitionByRange(12, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    ManifestRewrite.rewrite(t, entriesPerManifest = 2) // 12 files -> 6 manifests
+    val before = t.currentSnapshot.get.manifests
+    assert(before.size >= 6)
+
+    // merge touching one conversation -> 1-2 files -> at most 2 manifests
+    val staged = Seq(("c00000050", "0", "user", "UPDATED-BY-MERGE", "", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    MergeInto.merge(t, staged, "tiny-drop")
+
+    val after = t.currentSnapshot.get.manifests
+    val beforePaths = before.map(_.path).toSet
+    val carried = after.filter(r => beforePaths(r.path))
+    val fresh = after.filterNot(r => beforePaths(r.path))
+    assert(carried.size >= before.size - 2,
+      s"a 1-conv merge must carry >=${before.size - 2} of ${before.size} manifests, " +
+        s"carried only ${carried.size}")
+    assert(fresh.size <= 2, s"a 1-conv merge must write <=2 manifests, wrote ${fresh.size}")
+    // carried refs are byte-identical (same path, same persisted stats)
+    val beforeByPath = before.map(r => r.path -> r).toMap
+    carried.foreach(r => assert(r == beforeByPath(r.path)))
+    // and the summary records the reuse
+    val sm = t.currentSnapshot.get.summary
+    assert(sm("carried_manifests").toInt == carried.size)
+    assert(sm("new_manifests").toInt == fresh.size)
+  }
+
+  test("scan opens only manifests whose persisted range overlaps the predicate") {
+    val t = LakeTable.create(spark, tmpTable("manifest-prune"), TranscriptSynth.schema)
+    t.append(synth(200).repartitionByRange(20, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    ManifestRewrite.rewrite(t, entriesPerManifest = 2) // 20 files -> 10 manifests
+    val scan = t.scan(convRange = Some(("c00000010", "c00000019")))
+    assert(scan.prune.totalManifests >= 10)
+    assert(scan.prune.openedManifests <= 2,
+      s"narrow range must open <=2 of ${scan.prune.totalManifests} manifests, " +
+        s"opened ${scan.prune.openedManifests}")
+    assert(scan.prune.totalFiles == 20) // entry counts from UNOPENED manifests still sum
+    val expected = sortedRows(t.scan().df.where(
+      col("conv_id").between("c00000010", "c00000019")))
+    assert(sortedRows(scan.df) == expected)
+  }
+
+  test("commit conflict: concurrent writers to the same parent cannot both win") {
+    val t = LakeTable.create(spark, tmpTable("conflict"), TranscriptSynth.schema)
+    t.append(synth(10), "init")
+    // simulate a concurrent committer that already won snapshot id+1
+    val nextId = t.currentSnapshotId.get + 1
+    Files.writeString(Paths.get(t.root, "metadata", s"snap-$nextId.json"), "{}")
+    intercept[LakeTable.CommitConflictException] {
+      t.append(synth(5), "racer")
+    }
+  }
+
+  test("writeDataFiles: replayed identical tag never overwrites existing files") {
+    val t = LakeTable.create(spark, tmpTable("replay"), TranscriptSynth.schema)
+    val a = t.writeDataFiles(synth(10), "stream-0")
+    val b = t.writeDataFiles(synth(10), "stream-0") // at-least-once replay
+    assert(a.map(_.path).toSet.intersect(b.map(_.path).toSet).isEmpty,
+      "replay must land on fresh unique paths")
+    (a ++ b).foreach(f => assert(Files.exists(Paths.get(t.absData(f.path)))))
   }
 
   test("synth determinism: same seed => identical data") {
