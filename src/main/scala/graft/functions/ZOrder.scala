@@ -23,18 +23,32 @@ object ZOrder {
     * chosen per row:
     *   - ids of the form `<letters><digits>` (e.g. "c00001234"): the numeric
     *     suffix, which spreads uniformly over [0, nConvs);
-    *   - anything else: the first 4 UTF-8 bytes big-endian (lexicographic
-    *     prefix order).
+    *   - anything else: the first 4 chars' low bytes big-endian, UNSIGNED
+    *     (lexicographic prefix order for ASCII ids; chars >= 0x80 stay
+    *     positive via the mod-256 low byte, they just coarsen to their low
+    *     byte's order).
+    *
+    * ASSUMPTION (single id format per table): each encoding is monotonic
+    * WITHIN itself, but the two ranges are not mutually ordered — a table
+    * mixing numeric-suffix ids with free-form ids gets correct results
+    * (pruning uses real string stats, never this key) but degraded
+    * clustering locality across the two families. Transcript tables use one
+    * id scheme; if yours doesn't, pre-map ids to one family.
     * Pure `Column` composition — codegen'd, no UDF.
     */
   def convOrderKey(conv: Column): Column = {
     val digits = regexp_extract(conv, "^[A-Za-z]{0,4}([0-9]{1,9})$", 1)
     val byDigits = when(digits =!= "", digits.cast(IntegerType))
     val padded = rpad(coalesce(conv, lit("")), 4, " ")
+    // 4 low bytes, big-endian, as a NON-NEGATIVE int (max 0xFFFFFFFF >> 1
+    // after the halving below) — the old full-width form overflowed Int for
+    // leading chars >= 0x80, breaking monotonicity right where lex order
+    // mattered. Halving keeps 31 bits of order, losing only bit-0 of the
+    // last byte (adjacent-id ties, irrelevant at bucket granularity).
     val lex = (0 until 4).map { i =>
       shiftleft(ascii(substring(padded, i + 1, 1)).cast(LongType) % 256, (3 - i) * 8)
     }.reduce(_ + _)
-    byDigits.otherwise(lex.cast(IntegerType))
+    byDigits.otherwise(shiftright(lex, 1).cast(IntegerType))
   }
 
   /** The maintenance engine's clustering key:
@@ -58,7 +72,7 @@ object ZOrder {
       var acc = 0L
       var i = 0
       while (i < 4) { acc += (padded.charAt(i).toLong % 256) << ((3 - i) * 8); i += 1 }
-      acc.toInt
+      (acc >> 1).toInt // halved like convOrderKey: stays non-negative
     }
   }
 

@@ -23,22 +23,34 @@ object Horizontal {
       .option("quote", dialect.quote.toString)
       .option("mode", "PERMISSIVE")
       .option("inferSchema", "false")
+      // quoted fields may contain newlines (multi-line transcript text);
+      // multiLine parses each file whole instead of splitting on raw \n —
+      // fine for <=50 MB drops, where per-file parallelism is the unit anyway
+      .option("multiLine", "true")
       .csv(path)
     sanitizeColumns(raw)
   }
 
-  /** Parse an in-memory content string (single drop). */
+  /** Parse an in-memory content string (single drop) with [[StrictCsv]] —
+    * CPython csv.reader parity, so quoted fields containing embedded
+    * newlines stay ONE field (a per-line split would shear them into bogus
+    * records). Header = first row, trimmed; data rows pad/truncate to the
+    * header width like DictReader with restkey dropped / restval null.
+    */
   def parseContent(spark: SparkSession, content: String, dialect: Dialect): DataFrame = {
-    import spark.implicits._
-    val lines = content.split("\r\n|\r|\n", -1).toIndexedSeq
-    val ds = spark.createDataset(lines)
-    val raw = spark.read
-      .option("header", "true")
-      .option("sep", dialect.delimiter.toString)
-      .option("quote", dialect.quote.toString)
-      .option("mode", "PERMISSIVE")
-      .csv(ds)
-    sanitizeColumns(raw)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val rows = StrictCsv.parse(content, dialect.delimiter, dialect.quote, strict = false)
+      .filter(_.nonEmpty) // DictReader skips blank rows
+    if (rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))
+    val header = rows.head
+    val st = StructType(header.map(h => StructField(h, StringType)))
+    val data: java.util.List[Row] = rows.tail.map { r =>
+      Row.fromSeq(header.indices.map(i => if (i < r.length) r(i) else null))
+    }.asJava
+    sanitizeColumns(spark.createDataFrame(data, st))
   }
 
   /** Trim header names, drop empty-named columns, sanitize every cell. */

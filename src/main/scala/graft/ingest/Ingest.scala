@@ -21,10 +21,18 @@ object Ingest {
       dialect: Dialect,
       vertical: Boolean)
 
-  /** Pre-flight validation mirroring validators.py:10-30 + the 50 MB cap. */
-  def validateDropFile(path: String): Either[String, Unit] = {
+  /** Pre-flight validation mirroring validators.py:10-29 + the 50 MB cap:
+    * extension, then content type (when the transport supplies one —
+    * `text/csv*` or `application/vnd.ms-excel`, case-insensitive, exactly
+    * the reference's accept set), then size.
+    */
+  def validateDropFile(path: String,
+                       contentType: Option[String] = None): Either[String, Unit] = {
     val p = Paths.get(path)
+    val ctOk = contentType.map(_.toLowerCase).forall(ct =>
+      ct.startsWith("text/csv") || ct == "application/vnd.ms-excel")
     if (!path.toLowerCase.endsWith(".csv")) Left(s"invalid extension: $path")
+    else if (!ctOk) Left(s"invalid CSV content type: ${contentType.getOrElse("")}")
     else if (!Files.exists(p)) Left(s"missing file: $path")
     else if (Files.size(p) > MaxFileSizeBytes) Left(s"file exceeds 50MB cap: $path")
     else Right(())

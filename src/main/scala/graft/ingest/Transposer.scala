@@ -3,7 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.Sanitize
 
@@ -11,6 +11,10 @@ import graft.functions.Sanitize
   * backend/app/services/transposer.py:17-66) re-expressed as window + pivot.
   *
   * Reference semantics preserved:
+  *   - rows come from a REAL CSV parse of the whole content ([[StrictCsv]],
+  *     non-strict — CPython csv.reader parity), so quoted fields containing
+  *     embedded newlines stay one field instead of being split into bogus
+  *     records (they would be, were lines split before parsing);
   *   - skip empty rows and rows with empty/whitespace keys;
   *   - key is trimmed, value sanitized; missing value -> "";
   *   - record boundary: re-occurrence of the FIRST key of the file (each
@@ -22,31 +26,56 @@ import graft.functions.Sanitize
   *   - field order = first-seen order (transposer.py:48-49).
   *
   * The sequential rule is a running `sum` over a per-file window ordered by
-  * line number — the one genuinely order-dependent computation in the whole
+  * row number — the one genuinely order-dependent computation in the whole
   * ingest path. Each drop file is a single window partition (drops are
   * <= 50 MB by the reference's upload cap), so at scale parallelism comes
   * from MANY drops, not from splitting one drop.
   */
 object Transposer {
 
-  /** Transpose (file, line_no, line) rows; `dialect` applies to all files.
-    * Returns one row per (file, record) with pivoted key columns in
-    * first-seen order (union across files; per-file missing keys -> null).
+  /** Shared key/value normalization over raw (file, line_no, k, v) rows. */
+  private def kvColumns(raw: DataFrame): DataFrame = raw
+    .withColumn("key", Sanitize.stripWs(coalesce(col("k"), lit(""))))
+    .where(col("key") =!= "")
+    .withColumn("val", Sanitize.sanitizeCell(col("v")))
+    .select(col("file"), col("line_no").cast(LongType), col("key"), col("val"))
+
+  /** One drop's content -> (file, line_no=csv row index, key, val). */
+  def contentToKv(spark: SparkSession, file: String, content: String,
+                  dialect: Dialect): DataFrame = {
+    import spark.implicits._
+    val raw = StrictCsv.parse(content, dialect.delimiter, dialect.quote, strict = false)
+      .zipWithIndex.collect { case (r, i) if r.nonEmpty =>
+        (file, i.toLong, r.head, if (r.length > 1) r(1) else null)
+      }
+    kvColumns(raw.toDF("file", "line_no", "k", "v"))
+  }
+
+  /** Distributed multi-file path: one wholetext row per drop file, each
+    * parsed by StrictCsv in a typed flatMap — per-file row order stays
+    * deterministic, quoted newlines stay intact, and parallelism comes from
+    * the number of drops (each is <= 50 MB by contract).
     */
-  def transposeLines(lines: DataFrame, dialect: Dialect): DataFrame = {
-    val opts = Map("sep" -> dialect.delimiter.toString, "quote" -> dialect.quote.toString)
-    val kvSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+  def readFilesKv(spark: SparkSession, path: String, dialect: Dialect): DataFrame = {
+    import spark.implicits._
+    val (d, q) = (dialect.delimiter, dialect.quote)
+    val raw = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file"), col("value").as("content"))
+      .as[(String, String)]
+      .flatMap { case (f, c) =>
+        StrictCsv.parse(c, d, q, strict = false)
+          .zipWithIndex.collect { case (r, i) if r.nonEmpty =>
+            (f, i.toLong, r.head, if (r.length > 1) r(1) else null)
+          }
+      }
+    kvColumns(raw.toDF("file", "line_no", "k", "v"))
+  }
 
-    val parsed = lines
-      .where(col("line").isNotNull && trim(col("line")) =!= "")
-      .withColumn("kv", from_csv(col("line"), kvSchema, opts))
-      .withColumn("key", Sanitize.stripWs(coalesce(col("kv.k"), lit(""))))
-      .where(col("key") =!= "")
-      .withColumn("val", Sanitize.sanitizeCell(col("kv.v")))
-      .select(col("file"), col("line_no").cast(LongType), col("key"), col("val"))
-
+  /** Transpose pre-parsed (file, line_no, key, val) rows. Returns one row
+    * per (file, record) with pivoted key columns in first-seen order
+    * (union across files; per-file missing keys -> null).
+    */
+  def transposeKv(parsed: DataFrame): DataFrame = {
     val w = Window.partitionBy("file").orderBy("line_no")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withRec = parsed
@@ -69,29 +98,8 @@ object Transposer {
     * returns (records DataFrame without bookkeeping cols, fields first-seen).
     */
   def parseVerticalCsv(spark: SparkSession, content: String, dialect: Dialect): (DataFrame, Seq[String]) = {
-    import spark.implicits._
-    val lines = splitContentToLines(spark, content)
-    val out = transposeLines(lines, dialect)
+    val out = transposeKv(contentToKv(spark, "inline", content, dialect))
     val fields = out.columns.filterNot(c => c == "file" || c == "rec_id").toSeq
     (out.drop("file", "rec_id"), fields)
-  }
-
-  /** (file, line_no, line) from a raw content string (driver-provided). */
-  def splitContentToLines(spark: SparkSession, content: String): DataFrame = {
-    import spark.implicits._
-    Seq(("inline", content)).toDF("file", "content")
-      .select(col("file"), posexplode(split(col("content"), "\r\n|\r|\n")))
-      .toDF("file", "line_no", "line")
-  }
-
-  /** (file, line_no, line) for a directory/glob of drop files, one wholetext
-    * row per file then posexplode — keeps per-file line order deterministic
-    * without RDDs and parallelizes across drops.
-    */
-  def readFileLines(spark: SparkSession, path: String): DataFrame = {
-    spark.read.option("wholetext", "true").text(path)
-      .select(input_file_name().as("file"), col("value"))
-      .select(col("file"), posexplode(split(col("value"), "\r\n|\r|\n")))
-      .toDF("file", "line_no", "line")
   }
 }

@@ -153,15 +153,16 @@ object Clustering {
     * Z dimensions — quantiles, not min/max, so key-space outliers cannot
     * collapse the grid. At very large scale run this over a sample.
     *
-    * BIT BUDGET (convBuckets=4096 -> 12 bits; turnBuckets=64 -> 6 bits):
+    * BIT BUDGET (convBuckets=1024 -> 10 bits; turnBuckets=64 -> 6 bits):
     * deliberately asymmetric. With equal budgets, a HOT conversation (the
     * exact skew the north rule names) occupies every turn-rank bucket, so
     * its interleaved keys smear across the entire curve and its conv_id
     * poisons every file's min/max stats — conv-range pruning collapses to
     * 0 (observed empirically). Capping turn at 6 bits bounds any single
-    * conversation's z-extent to 4^6 of a 4^12 curve (~0.02%): hot convs
-    * stay confined to their conv slab, conv-range pruning meets the >=90%
-    * bar, and turn locality still helps turn-slice scans within slabs.
+    * conversation's z-extent to 2^6 cells of the 2^16-cell curve (~0.1%):
+    * hot convs stay confined to their conv slab, conv-range pruning meets
+    * the >=90% bar, and turn locality still helps turn-slice scans within
+    * slabs.
     */
   def quantileCuts(table: LakeTable, files: Vector[DataFile],
                    convBuckets: Int = 1024, turnBuckets: Int = 64): (Array[Long], Array[Long]) = {

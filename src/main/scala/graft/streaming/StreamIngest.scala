@@ -43,6 +43,9 @@ object StreamIngest {
       .option("maxFilesPerTrigger", "32")
       .csv(dropDir)
 
+    // No `_seq` is set here: MergeInto derives a partition-major row id for
+    // duplicate-key resolution, matching per-file read order within each
+    // micro-batch (reference semantics: later lines overwrite non-empty).
     val sanitized = sanitizeAll(raw)
 
     sanitized.writeStream

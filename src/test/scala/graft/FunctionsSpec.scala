@@ -85,6 +85,19 @@ class MortonSpec extends AnyFunSuite {
       .select(ZOrder.convOrderKey(col("conv_id"))).as[Int].collect()
     assert(lex.toSeq == lex.sorted.toSeq)
   }
+
+  test("convOrderKey lex fallback: non-negative and ordered for bytes >= 0x80") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // U+00E9 has low byte 0xE9: the pre-fix full-width encoding overflowed
+    // Int to NEGATIVE here, inverting the order against ASCII ids
+    val ids = Seq("aaaa", "zzzz", "éxyz")
+    val keys = ids.toDF("conv_id")
+      .select(ZOrder.convOrderKey(col("conv_id"))).as[Int].collect()
+    assert(keys.forall(_ >= 0))
+    assert(keys.toSeq == keys.sorted.toSeq, s"must follow string order: ${keys.toSeq}")
+    assert(keys.toSeq == ids.map(ZOrder.convOrderKeyScala))
+  }
 }
 
 class TextMetricsSpec extends AnyFunSuite {
@@ -166,6 +179,50 @@ class DedupSpec extends AnyFunSuite {
     assert(got(0) == Seq("a b c", "b c d"))
     assert(got(1) == Seq("a b"))
   }
+
+  test("simhash banded candidates: exact dups always found, far docs not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), "exact duplicate must be a candidate")
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 0L)
+    assert(!keys.contains((1L, 4L)) && !keys.contains((2L, 4L)))
+  }
+
+  test("simhash banded candidates: maxBucket caps degenerate buckets") {
+    import spark.implicits._
+    // 10 identical docs share every band bucket -> bucket size 10
+    val docs = (1L to 10L).map(i => (i, "same text every single time for all"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashCandidatePairs(docs, "doc_id", "text").count()
+    assert(uncapped == 45) // all 10*9/2 pairs
+    val capped = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxBucket = 5).count()
+    assert(capped == 0, "over-cap buckets must be dropped, not joined quadratically")
+  }
+
+  test("jaccard candidates: document-frequency cap keeps stopwords out of the join") {
+    import spark.implicits._
+    // every doc shares the stopword "the"; only (1,2) share a rare token
+    val docs = ((1L to 20L).map { i =>
+      (i, s"the unique$i filler$i")
+    } :+ (1L, "the shared rare") :+ (2L, "the shared rare"))
+      .groupBy(_._1).map { case (id, rows) => (id, rows.map(_._2).mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val pairs = Dedup.jaccardCandidatePairs(docs, "doc_id", "text", maxDF = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"stopword 'the' (df=20 > maxDF=5) must not generate pairs; got $pairs")
+    // without the cap the stopword joins every doc to every other doc
+    val uncapped = Dedup.jaccardCandidatePairs(docs, "doc_id", "text", maxDF = 1000).count()
+    assert(uncapped == 190) // 20*19/2
+  }
 }
 
 class VectorOpsSpec extends AnyFunSuite {
@@ -191,5 +248,17 @@ class VectorOpsSpec extends AnyFunSuite {
     val top = VectorOps.bruteForceTopK(vecs, vecs, "id", "v", 1)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
     assert(top(1L) == 2L && top(2L) == 1L && top(3L) == 4L && top(4L) == 3L)
+  }
+
+  test("lshBucketTopK: maxBucket bounds a degenerate bucket's join") {
+    import spark.implicits._
+    // 50 identical vectors collapse into ONE bucket (identical sign pattern)
+    val vecs = (1L to 50L).map(i => (i, Seq(1f, 2f, 3f, 4f))).toDF("id", "v")
+    val uncapped = VectorOps.lshBucketTopK(vecs, "id", "v", 2)
+    assert(uncapped.count() == 100) // 50 queries x k=2
+    val capped = VectorOps.lshBucketTopK(vecs, "id", "v", 2, maxBucket = 5)
+    val rows = capped.select("query_id").as[Long].collect()
+    assert(rows.length == 10, "cap=5 keeps 5 members -> 5 queries x k=2")
+    assert(rows.forall(_ <= 5), "kept members are deterministic by id")
   }
 }

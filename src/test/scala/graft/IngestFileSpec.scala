@@ -32,6 +32,15 @@ class IngestFileSpec extends AnyFunSuite {
     assert(Ingest.validateDropFile(wrongExt).isLeft)
   }
 
+  test("validateDropFile: content type checked when supplied (validators.py:24-29)") {
+    val ok = tmp("typed.csv", "a,b\n1,2\n".getBytes(StandardCharsets.UTF_8))
+    assert(Ingest.validateDropFile(ok, Some("text/csv")).isRight)
+    assert(Ingest.validateDropFile(ok, Some("TEXT/CSV; charset=utf-8")).isRight)
+    assert(Ingest.validateDropFile(ok, Some("application/vnd.ms-excel")).isRight)
+    assert(Ingest.validateDropFile(ok, Some("application/json")).isLeft)
+    assert(Ingest.validateDropFile(ok, None).isRight) // transport gave none
+  }
+
   test("parseDropFile: UTF-8 BOM tolerated (utf-8-sig, file_service.py:37-39)") {
     val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
     val body = "conv_id,text\nc1,hello\n".getBytes(StandardCharsets.UTF_8)

@@ -184,6 +184,37 @@ class TransposerSpec extends AnyFunSuite {
     val (df, fields) = Transposer.parseVerticalCsv(spark, "Name,=1+1\nAge,25", Dialect.Excel)
     assert(df.collect()(0).getString(fields.indexOf("Name")) == "'=1+1")
   }
+
+  test("quoted newline inside a value stays one field (csv.reader parity)") {
+    val content = "Name,\"John\nDoe\"\nAge,30\nName,Jane\nAge,25"
+    val (df, fields) = Transposer.parseVerticalCsv(spark, content, Dialect.Excel)
+    val rows = df.collect()
+    assert(rows.length == 2, "the embedded newline must not shear the record")
+    assert(rows(0).getString(fields.indexOf("Name")) == "John\nDoe")
+    assert(rows(1).getString(fields.indexOf("Name")) == "Jane")
+  }
+}
+
+class MultilineHorizontalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("quoted newline inside a horizontal cell stays one record") {
+    val content = "id,text\n1,\"line one\nline two\"\n2,plain"
+    val df = Horizontal.parseContent(spark, content, Dialect.Excel)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "line one\nline two")
+    assert(rows(1).getString(1) == "plain")
+  }
+
+  test("short rows pad with null -> \"\"-sanitized; long rows truncate") {
+    val content = "a,b,c\n1,2\n3,4,5,6"
+    val df = Horizontal.parseContent(spark, content, Dialect.Excel)
+    val rows = df.collect()
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(rows(0).getString(2) == "") // sanitize maps null -> ""
+    assert(rows(1).toSeq == Seq("3", "4", "5"))
+  }
 }
 
 class LayoutSpec extends AnyFunSuite {
