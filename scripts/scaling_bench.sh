@@ -9,6 +9,10 @@ cd "$(dirname "$0")/.."
 NCONVS="${1:-150000}"
 SMALL="${SMALL:-8}"   # N cores
 BIG="${BIG:-32}"      # 4N cores
+# Where tables + shuffle live: point at /dev/shm/graft-bench to model
+# node-local storage (a real cluster's disks scale with executors; the
+# sandbox's one shared disk does not). Default: repo target dir (disk).
+export SPARK_GRAFT_BENCH_DIR="${SPARK_GRAFT_BENCH_DIR:-target/scalebench}"
 CP="target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*"
 OPTS=(
   --add-opens=java.base/java.lang=ALL-UNNAMED

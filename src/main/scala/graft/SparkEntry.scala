@@ -211,7 +211,8 @@ object SparkEntry {
     // pair among the simhash candidates — the semi-join result equals the
     // plain SQL self-join on text, so any missed pair breaks the row hash.
     "q16b_simhash_pairs" -> ((s, d) => {
-      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = t(s, d, "documents").where(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
       val corpus = base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       val cands = Dedup.simhashCandidatePairs(corpus, "doc_id", "text", maxBucket = 5000)
       val exact = corpus.as("x").join(corpus.as("y"),
@@ -454,8 +455,9 @@ object SparkEntry {
 
     "q16b_simhash_pairs" ->
       """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 2000)
         |SELECT x.doc_id AS id_a, y.doc_id AS id_b
         |FROM corpus x JOIN corpus y ON x.text = y.text AND x.doc_id < y.doc_id
         |ORDER BY id_a, id_b""".stripMargin,

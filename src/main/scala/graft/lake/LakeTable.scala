@@ -141,6 +141,13 @@ class LakeTable(val root: String, val spark: SparkSession) {
   def readOrdered(): DataFrame =
     scan().df.orderBy("conv_id", "turn_idx")
 
+  /** Time travel: the newest snapshot committed at or before `tsMs` (the
+    * reference's created_at-ordered metadata listing made queryable).
+    * Pass the result's id as `scan(snapshotId = ...)`.
+    */
+  def snapshotAsOf(tsMs: Long): Option[Snapshot] =
+    allSnapshots.filter(_.timestampMs <= tsMs).sortBy(_.id).lastOption
+
   // ---- writes ------------------------------------------------------------
 
   /** Write `df` (already in table-schema column order) as data files and

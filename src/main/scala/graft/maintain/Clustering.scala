@@ -37,12 +37,20 @@ object Clustering {
     * locality, no curve jumps). Persisted in the plan so a resumed job
     * keeps the exact curve it started with.
     */
+  /** `reuseCuts`: when true (default) and the table was ALREADY clustered,
+    * recluster jobs reuse the previous cluster job's persisted quantile
+    * cuts instead of re-running the sample pass — quantiles drift slowly
+    * under incremental merges, and the cuts only steer layout (never
+    * correctness), so skipping the one serial-ish plan scan shrinks the
+    * maintenance cadence's fixed cost.
+    */
   def cluster(table: LakeTable, jobId: String,
               targetFileRows: Long = 1L << 20,
               groupTargetBytes: Long = 256L << 20,
               salts: Int = 16,
               interruptAfter: Int = Int.MaxValue,
-              curve: String = "z"): Result = {
+              curve: String = "z",
+              reuseCuts: Boolean = true): Result = {
     val spark = table.spark
 
     // Idempotence: a snapshot already committed by this job wins outright.
@@ -63,7 +71,9 @@ object Clustering {
         val files = table.currentFiles
           .sortBy(f => (f.minConv.getOrElse(""), f.minTurn.getOrElse(0)))
         val planned = planGroups(files, groupTargetBytes).map(_.map(_.path))
-        val (convCuts, turnCuts) = quantileCuts(table, files)
+        val (convCuts, turnCuts) =
+          (if (reuseCuts) previousCuts(table) else None)
+            .getOrElse(quantileCuts(table, files))
         val base = table.currentSnapshotId.get
         Ledger.writePlan(table, jobId, base, planned, convCuts, turnCuts, curve)
         logInfoTime("cluster plan (incl. quantile pass)", tPlan)
@@ -145,6 +155,18 @@ object Clustering {
     logInfoTime("cluster commit", tCommit)
     Result(snap, groups.size, resumed, rewritten)
   }
+
+  /** Cuts from the most recent committed cluster job's persisted plan, if
+    * any — walking snapshots newest-first for a `cluster` operation whose
+    * ledger plan still exists and carries non-empty cuts.
+    */
+  def previousCuts(table: LakeTable): Option[(Array[Long], Array[Long])] =
+    table.allSnapshots.sortBy(-_.id).iterator
+      .filter(_.operation == "cluster")
+      .flatMap(s => s.summary.get("job_id"))
+      .flatMap(jid => Ledger.readPlan(table, jid))
+      .collectFirst { case p if p.convCuts.nonEmpty =>
+        (p.convCuts, p.turnCuts) }
 
   private def logInfoTime(what: String, t0: Long): Unit =
     System.err.println(f"[graft.cluster] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")

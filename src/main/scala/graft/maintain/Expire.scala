@@ -70,6 +70,41 @@ object Expire {
   }
 }
 
+/** Orphan-file GC: data files on disk referenced by NO snapshot — the
+  * residue of write attempts that crashed before their commit (data-file
+  * names are unique per attempt precisely so a retry cannot overwrite, which
+  * means the failed attempt's files linger). Mirrors Iceberg's
+  * remove_orphan_files: only files older than `olderThanMs` are candidates,
+  * so an in-flight writer's staged-but-uncommitted output is never swept.
+  */
+object OrphanGc {
+
+  final case class Result(deleted: Vector[String], failures: Vector[String])
+
+  def removeOrphans(table: LakeTable,
+                    olderThanMs: Long,
+                    nowMs: Long = System.currentTimeMillis()): Result = {
+    val referenced = table.allSnapshots.flatMap(s => table.dataFiles(s))
+      .map(_.path).toSet
+    val dataDir = Paths.get(table.root, "data")
+    val deleted = Vector.newBuilder[String]
+    val failures = Vector.newBuilder[String]
+    if (Files.exists(dataDir)) {
+      val it = Files.list(dataDir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val rel = s"data/${p.getFileName}"
+        val oldEnough = Files.getLastModifiedTime(p).toMillis < nowMs - olderThanMs
+        if (!referenced(rel) && oldEnough) {
+          try { Files.deleteIfExists(p); deleted += rel }
+          catch { case e: Exception => failures += s"$rel: ${e.getMessage}" }
+        }
+      }
+    }
+    Result(deleted.result(), failures.result())
+  }
+}
+
 /** Manifest rewrite: regroup the current snapshot's (unchanged) data files
   * into range-sorted manifests of bounded size. Pure metadata operation —
   * no data moves — keeping planning cost bounded as file counts grow.

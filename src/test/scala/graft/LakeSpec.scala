@@ -236,6 +236,23 @@ class LakeSpec extends AnyFunSuite {
     assert(sortedRows(t.scan().df) == pre)
   }
 
+  test("recluster reuses the previous cluster job's quantile cuts") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("cut-reuse"), TranscriptSynth.schema)
+    t.append(synth(600).repartition(30), "init")
+    Clustering.cluster(t, "cuts-a", targetFileRows = 100)
+    val staged = Seq(("c00000007", "0", "user", "PATCHED", "", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    MergeInto.merge(t, staged, "patch")
+    Clustering.cluster(t, "cuts-b", targetFileRows = 100)
+    val a = Ledger.readPlan(t, "cuts-a").get
+    val b = Ledger.readPlan(t, "cuts-b").get
+    assert(b.convCuts.sameElements(a.convCuts) && b.turnCuts.sameElements(a.turnCuts),
+      "second cluster job must reuse the persisted cuts, not re-sample")
+    val scan = t.scan(convRange = Some(("c00000100", "c00000109")))
+    assert(scan.prune.ratio >= 0.9, s"prune after cut-reuse recluster: ${scan.prune.ratio}")
+  }
+
   test("commitDelta: a small merge carries untouched manifests forward verbatim") {
     import spark.implicits._
     val t = LakeTable.create(spark, tmpTable("manifest-reuse"), TranscriptSynth.schema)
@@ -301,6 +318,65 @@ class LakeSpec extends AnyFunSuite {
     assert(a.map(_.path).toSet.intersect(b.map(_.path).toSet).isEmpty,
       "replay must land on fresh unique paths")
     (a ++ b).foreach(f => assert(Files.exists(Paths.get(t.absData(f.path)))))
+  }
+
+  test("time travel: snapshotAsOf resolves the newest snapshot at or before ts") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("timetravel"), TranscriptSynth.schema)
+    t.append(synth(10), "init")
+    val s1 = t.currentSnapshot.get
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    val staged = Seq(("c00000001", "0", "user", "LATER", "", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    MergeInto.merge(t, staged, "later-drop")
+    assert(t.snapshotAsOf(mid).map(_.id).contains(s1.id))
+    assert(t.snapshotAsOf(System.currentTimeMillis()).map(_.id) == t.currentSnapshotId)
+    assert(t.snapshotAsOf(0L).isEmpty)
+    val asOf = t.scan(snapshotId = t.snapshotAsOf(mid).map(_.id)).df
+    assert(asOf.where(col("text") === "LATER").count() == 0)
+  }
+
+  test("orphan GC: unreferenced write-attempt residue swept, fresh files spared") {
+    val t = LakeTable.create(spark, tmpTable("orphans"), TranscriptSynth.schema)
+    t.append(synth(10), "init")
+    val live = t.currentFiles.map(_.path).toSet
+    // a crashed attempt: files written, never committed
+    val orphans = t.writeDataFiles(synth(5), "crashed-attempt")
+    assert(orphans.nonEmpty)
+    // too fresh -> spared (could be an in-flight writer)
+    val spared = OrphanGc.removeOrphans(t, olderThanMs = 60000)
+    assert(spared.deleted.isEmpty)
+    // old enough -> swept; committed files untouched
+    val swept = OrphanGc.removeOrphans(t, olderThanMs = -1)
+    assert(swept.deleted.toSet == orphans.map(_.path).toSet)
+    assert(swept.failures.isEmpty)
+    assert(t.currentFiles.map(_.path).toSet == live)
+    assert(sortedRows(t.scan().df) == sortedRows(synth(10)))
+  }
+
+  test("materialize: cached artifact served, missing one rebuilt byte-equal") {
+    val t = LakeTable.create(spark, tmpTable("materialize"), TranscriptSynth.schema)
+    t.append(synth(20), "init")
+    val outRoot = tmpTable("artifacts")
+    val first = Materialize.sanitizedCsv(t, outRoot, "export")
+    assert(first.rebuilt, "first request must build")
+    val again = Materialize.sanitizedCsv(t, outRoot, "export")
+    assert(!again.rebuilt && again.path == first.path, "second request is a cache hit")
+    val original = spark.read.option("header", "true").csv(first.path)
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    // blob deleted -> rebuilt from the pinned snapshot, byte-equivalent
+    LakeTable.deleteRecursively(Paths.get(first.path))
+    val rebuilt = Materialize.sanitizedCsv(t, outRoot, "export")
+    assert(rebuilt.rebuilt)
+    val after = spark.read.option("header", "true").csv(rebuilt.path)
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(after == original)
+    // a new snapshot is a NEW artifact version, old one still cached
+    t.append(synth(5).where(col("conv_id") === "c00000099"), "more")
+    val v2 = Materialize.sanitizedCsv(t, outRoot, "export")
+    assert(v2.rebuilt && v2.path != first.path && v2.snapshotId > first.snapshotId)
   }
 
   test("synth determinism: same seed => identical data") {
