@@ -270,6 +270,19 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // SQL-transparent pruned scan: the same result as q21 but planned by
+    // the optimizer — spark.sql over a view of the custom GraftTableScan
+    // leaf, whose Rule rewrites the BETWEEN into manifest-level pruning.
+    "q29_sql_pruned_scan" -> ((s, d) => {
+      val f = LakeFixtures.forDir(s, d)
+      graft.plans.GraftPlans.install(s)
+      graft.plans.GraftPlans.scan(s, f.table).createOrReplaceTempView("transcripts")
+      s.sql(
+        """SELECT conv_id, turn_idx, text FROM transcripts
+          |WHERE conv_id BETWEEN 'u000010' AND 'u000019'
+          |ORDER BY conv_id, turn_idx""".stripMargin)
+    }),
+
     // --- adaptive CSV ingest (dialect detect + vertical transpose) ------
     "q22_vertical_ingest" -> ((s, d) => {
       val content = IngestFixtures.verticalKvCsv(s, d)
@@ -498,6 +511,18 @@ object SparkEntry {
     "q19_lake_scan" -> transcriptSql(corrected = true),
     "q20_lake_snapshot_isolation" -> transcriptSql(corrected = false),
     "q21_lake_pruned_scan" ->
+      """WITH tr AS (
+        |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+        |         event_type, props
+        |  FROM events)
+        |SELECT conv_id, turn_idx,
+        |  CASE WHEN event_type = 'error' THEN 'corrected ' || props ELSE props END AS text
+        |FROM tr WHERE conv_id BETWEEN 'u000010' AND 'u000019'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // same oracle as q21: the SQL path must agree with the programmatic scan
+    "q29_sql_pruned_scan" ->
       """WITH tr AS (
         |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
         |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,

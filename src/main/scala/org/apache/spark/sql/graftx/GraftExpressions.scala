@@ -15,6 +15,32 @@ object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a raw LogicalPlan (Dataset.ofRows is private[sql]) —
+    * needed to hand a custom leaf node (graft.plans.GraftTableScan) to users
+    * as an ordinary DataFrame.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed LogicalPlan behind a DataFrame (queryExecution is sql-private
+    * in the interface hierarchy; the classic Dataset exposes it).
+    */
+  def planOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
+  /** The executed SparkPlan of a DataFrame — plan-evidence hook for tests
+    * (file counts in FileSourceScanExec, codegen spans).
+    */
+  def executedPlanOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan
+
   /** Register the engine's custom expressions for SQL callers:
     * `SELECT zorder64(a, b)` works after this (FunctionRegistry is a
     * private[sql] seam, hence registration lives in this bridge package).

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
+
+import graft.lake.LakeTable
+import graft.plans.GraftPlans
+import graft.synth.TranscriptSynth
+
+/** The optimizer-planned scan path: SQL / DataFrame filters over the custom
+  * [[graft.plans.GraftTableScan]] leaf must prune at the metadata level
+  * (fewer parquet files reach the physical scan) and stay result-identical
+  * to the programmatic `LakeTable.scan(convRange)` API.
+  */
+class PlansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(name: String, nConvs: Int, nFiles: Int): LakeTable = {
+    val p = Paths.get("target", "test-lake", name + "-" + System.nanoTime())
+    LakeTable.deleteRecursively(p)
+    val t = LakeTable.create(spark, p.toString, TranscriptSynth.schema)
+    t.append(TranscriptSynth.turns(spark, nConvs, seed = 42L)
+      .repartitionByRange(nFiles, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    t
+  }
+
+  private def scannedFiles(df: DataFrame): Long = {
+    df.count() // force planning
+    Bridge.executedPlanOf(df).collect {
+      case f: FileSourceScanExec => f.relation.location.inputFiles.length.toLong
+    }.sum
+  }
+
+  test("SQL over the custom leaf prunes files via manifest stats") {
+    val t = freshTable("plans-sql", 200, 20)
+    GraftPlans.install(spark)
+    GraftPlans.scan(spark, t).createOrReplaceTempView("transcripts_sql")
+    val q = spark.sql(
+      """SELECT conv_id, turn_idx, text FROM transcripts_sql
+        |WHERE conv_id BETWEEN 'c00000010' AND 'c00000019'
+        |ORDER BY conv_id, turn_idx""".stripMargin)
+    val expected = t.scan(convRange = Some(("c00000010", "c00000019"))).df
+      .select("conv_id", "turn_idx", "text")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(q.collect().toSeq == expected)
+    val files = scannedFiles(spark.sql(
+      "SELECT * FROM transcripts_sql WHERE conv_id BETWEEN 'c00000010' AND 'c00000019'"))
+    assert(files <= 3, s"SQL range scan must read <=3 of 20 files, read $files")
+  }
+
+  test("DataFrame filters prune too; equality and turn ranges compose") {
+    val t = freshTable("plans-df", 200, 20)
+    GraftPlans.install(spark)
+    val df = GraftPlans.scan(spark, t)
+      .where(col("conv_id") === "c00000042" && col("turn_idx") >= 0)
+    assert(scannedFiles(df) <= 2)
+    val viaApi = t.scan(convRange = Some(("c00000042", "c00000042"))).df
+      .where(col("turn_idx") >= 0).count()
+    assert(df.count() == viaApi)
+  }
+
+  test("unsupported predicates fall back to a full, correct scan") {
+    val t = freshTable("plans-fallback", 50, 5)
+    GraftPlans.install(spark)
+    val df = GraftPlans.scan(spark, t).where(col("conv_id").endsWith("3"))
+    val expected = t.scan().df.where(col("conv_id").endsWith("3")).count()
+    assert(df.count() == expected)
+    assert(scannedFiles(df) == 5, "non-range predicate keeps the full file set")
+  }
+
+  test("no filter at all reads everything") {
+    val t = freshTable("plans-full", 50, 5)
+    GraftPlans.install(spark)
+    val df = GraftPlans.scan(spark, t)
+    assert(df.count() == t.scan().df.count())
+  }
+}
