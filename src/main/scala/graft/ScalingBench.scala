@@ -34,7 +34,9 @@ object ScalingBench {
                              maintainSec: Double, throughput: Double,
                              pruneRatio: Double, files: Int,
                              compactSec: Double = 0.0, clusterSec: Double = 0.0,
-                             cpuSec: Double = 0.0)
+                             cpuSec: Double = 0.0,
+                             mergeSec: Double = 0.0, mergeStaged: Long = 0L,
+                             mergeTouched: Int = 0, mergeCarried: Int = 0)
 
   private def baseDir: String =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "target/scalebench")
@@ -89,10 +91,28 @@ object ScalingBench {
       // prune ratio on a ~1% conv range
       val lo = f"c${nConvs / 2}%08d"; val hi = f"c${nConvs / 2 + nConvs / 100}%08d"
       val scan = t.scan(convRange = Some((lo, hi)))
+
+      // MERGE throughput (separate from the compact+cluster maintain
+      // metric): a correction drop touching the same ~1% conv range —
+      // evidence that a merge's cost follows the TOUCHED slice, not the
+      // table (manifest pre-filter + commitDelta carry-forward).
+      val drop = t.scan(convRange = Some((lo, hi))).df
+        .select(col("conv_id"), col("turn_idx").cast("string").as("turn_idx"),
+          lit("").as("role"),
+          concat(lit("corrected "), col("text")).as("text"),
+          lit("").as("tool"),
+          monotonically_increasing_id().as("_seq"))
+      val t4 = System.nanoTime()
+      val mr = MergeInto.merge(t, drop, "bench-merge",
+        targetFileRows = math.max(10000L, rows / 64))
+      val mergeSec = (System.nanoTime() - t4) / 1e9
+
       RunResult(cores, rows, loadSec, maintainSec, rows / maintainSec,
         scan.prune.ratio, t.currentFiles.size,
         compactSec = (t2 - t1) / 1e9, clusterSec = (t3 - t2) / 1e9,
-        cpuSec = cpuSec)
+        cpuSec = cpuSec,
+        mergeSec = mergeSec, mergeStaged = mr.stagedRows,
+        mergeTouched = mr.touchedFiles, mergeCarried = mr.carriedFiles)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -105,7 +125,9 @@ object ScalingBench {
       s""""maintain_sec":${r.maintainSec},"throughput":${r.throughput},""" +
       s""""prune_ratio":${r.pruneRatio},"files":${r.files},""" +
       s""""compact_sec":${r.compactSec},"cluster_sec":${r.clusterSec},""" +
-      s""""cpu_sec":${r.cpuSec}}"""
+      s""""cpu_sec":${r.cpuSec},"merge_sec":${r.mergeSec},""" +
+      s""""merge_staged":${r.mergeStaged},"merge_touched":${r.mergeTouched},""" +
+      s""""merge_carried":${r.mergeCarried}}"""
 
   private def resultFromJson(path: String): RunResult = {
     val n = graft.lake.MetaJson.read(Files.readString(Paths.get(path)))
@@ -113,7 +135,10 @@ object ScalingBench {
     RunResult(n.get("cores").asInt, n.get("rows").asLong, n.get("load_sec").asDouble,
       n.get("maintain_sec").asDouble, n.get("throughput").asDouble,
       n.get("prune_ratio").asDouble, n.get("files").asInt,
-      d("compact_sec"), d("cluster_sec"), d("cpu_sec"))
+      d("compact_sec"), d("cluster_sec"), d("cpu_sec"),
+      d("merge_sec"), Option(n.get("merge_staged")).map(_.asLong).getOrElse(0L),
+      Option(n.get("merge_touched")).map(_.asInt).getOrElse(0),
+      Option(n.get("merge_carried")).map(_.asInt).getOrElse(0))
   }
 
   /** Modes:
@@ -165,6 +190,12 @@ object ScalingBench {
          |**Scaling efficiency (${r8.cores} -> ${r32.cores} cores) = ${efficiency}%.2f**
          |(target >= 0.8, BASELINE.json). CPU-share efficiency (cpu-seconds
          |small/big, 1.0 = zero redundant compute at 4N) = ${cpuShare}%.2f.
+         |
+         |MERGE of a ~1%% conv-range correction drop (O(touched-slice), not
+         |O(table) — manifest pre-filter + commitDelta carry-forward):
+         |${r8.cores} cores ${r8.mergeStaged} staged rows in ${r8.mergeSec}%.1f s
+         |(${r8.mergeTouched} files rewritten, ${r8.mergeCarried} carried);
+         |${r32.cores} cores in ${r32.mergeSec}%.1f s.
          |""".stripMargin
     val benchMd = Paths.get("BENCH.md")
     val existing = if (Files.exists(benchMd)) Files.readString(benchMd)
