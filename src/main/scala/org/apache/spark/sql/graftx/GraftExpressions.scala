@@ -41,6 +41,14 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.executedPlan
 
+  /** `EXPLAIN FORMATTED` text of a DataFrame, as a String (the public
+    * explain() only prints to stdout).
+    */
+  def explainFormatted(df: org.apache.spark.sql.DataFrame): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   /** Register the engine's custom expressions for SQL callers:
     * `SELECT zorder64(a, b)` works after this (FunctionRegistry is a
     * private[sql] seam, hence registration lives in this bridge package).
