@@ -320,6 +320,31 @@ class LakeSpec extends AnyFunSuite {
     (a ++ b).foreach(f => assert(Files.exists(Paths.get(t.absData(f.path)))))
   }
 
+  test("skew: the hot conversation neither creates straggler files nor kills pruning") {
+    val t = LakeTable.create(spark, tmpTable("skew"), TranscriptSynth.schema)
+    // synth conv 0 is HOT (1000 turns vs ~11 mean) — the north-rule skew case
+    val data = synth(300)
+    t.append(data.repartition(20), "init")
+    val total = t.currentFiles.map(_.rows).sum
+    Clustering.cluster(t, "skew-job", targetFileRows = 150)
+
+    // salted range partitioning + AQE: no output file collects the whole
+    // hot conversation as a straggler
+    val sizes = t.currentFiles.map(_.rows)
+    assert(sizes.max <= 2 * 150,
+      s"hot conv must spread across files; sizes=${sizes.sorted.reverse.take(5)}")
+
+    // the hot conv scans exactly and cheaply (its slab, not the whole curve)
+    val hot = t.scan(convRange = Some(("c00000000", "c00000000")))
+    assert(hot.df.count() == data.where(col("conv_id") === "c00000000").count())
+    assert(hot.prune.ratio > 0.5,
+      s"hot-conv scan must not read most of the table: ${hot.prune.ratio}")
+    // and pruning for OTHER conversations survives the hot neighbor
+    val cold = t.scan(convRange = Some(("c00000100", "c00000109")))
+    assert(cold.prune.ratio >= 0.8, s"cold prune ${cold.prune.ratio}")
+    assert(t.scan().df.count() == total)
+  }
+
   test("time travel: snapshotAsOf resolves the newest snapshot at or before ts") {
     import spark.implicits._
     val t = LakeTable.create(spark, tmpTable("timetravel"), TranscriptSynth.schema)
