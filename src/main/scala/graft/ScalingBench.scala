@@ -36,7 +36,8 @@ object ScalingBench {
                              compactSec: Double = 0.0, clusterSec: Double = 0.0,
                              cpuSec: Double = 0.0,
                              mergeSec: Double = 0.0, mergeStaged: Long = 0L,
-                             mergeTouched: Int = 0, mergeCarried: Int = 0)
+                             mergeTouched: Int = 0, mergeCarried: Int = 0,
+                             reclusterSec: Double = 0.0, reclusterRows: Long = 0L)
 
   private def baseDir: String =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "target/scalebench")
@@ -107,12 +108,24 @@ object ScalingBench {
         targetFileRows = math.max(10000L, rows / 64))
       val mergeSec = (System.nanoTime() - t4) / 1e9
 
+      // post-merge INCREMENTAL recluster: only slabs containing merge output
+      // rewrite (cut reuse skips the sample pass) — at 10^12 turns this is
+      // the steady-state maintenance cost per drop, not the full cluster.
+      // Group size scaled to the bench table (the production 256 MB default
+      // would be half this small table, hiding the slab granularity).
+      val t5 = System.nanoTime()
+      val rc = Clustering.cluster(t, "bench-recluster",
+        targetFileRows = math.max(10000L, rows / 64),
+        groupTargetBytes = 32L << 20)
+      val reclusterSec = (System.nanoTime() - t5) / 1e9
+
       RunResult(cores, rows, loadSec, maintainSec, rows / maintainSec,
         scan.prune.ratio, t.currentFiles.size,
         compactSec = (t2 - t1) / 1e9, clusterSec = (t3 - t2) / 1e9,
         cpuSec = cpuSec,
         mergeSec = mergeSec, mergeStaged = mr.stagedRows,
-        mergeTouched = mr.touchedFiles, mergeCarried = mr.carriedFiles)
+        mergeTouched = mr.touchedFiles, mergeCarried = mr.carriedFiles,
+        reclusterSec = reclusterSec, reclusterRows = rc.rowsRewritten)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -127,7 +140,8 @@ object ScalingBench {
       s""""compact_sec":${r.compactSec},"cluster_sec":${r.clusterSec},""" +
       s""""cpu_sec":${r.cpuSec},"merge_sec":${r.mergeSec},""" +
       s""""merge_staged":${r.mergeStaged},"merge_touched":${r.mergeTouched},""" +
-      s""""merge_carried":${r.mergeCarried}}"""
+      s""""merge_carried":${r.mergeCarried},"recluster_sec":${r.reclusterSec},""" +
+      s""""recluster_rows":${r.reclusterRows}}"""
 
   private def resultFromJson(path: String): RunResult = {
     val n = graft.lake.MetaJson.read(Files.readString(Paths.get(path)))
@@ -138,7 +152,8 @@ object ScalingBench {
       d("compact_sec"), d("cluster_sec"), d("cpu_sec"),
       d("merge_sec"), Option(n.get("merge_staged")).map(_.asLong).getOrElse(0L),
       Option(n.get("merge_touched")).map(_.asInt).getOrElse(0),
-      Option(n.get("merge_carried")).map(_.asInt).getOrElse(0))
+      Option(n.get("merge_carried")).map(_.asInt).getOrElse(0),
+      d("recluster_sec"), Option(n.get("recluster_rows")).map(_.asLong).getOrElse(0L))
   }
 
   /** Modes:
@@ -195,7 +210,10 @@ object ScalingBench {
          |O(table) — manifest pre-filter + commitDelta carry-forward):
          |${r8.cores} cores ${r8.mergeStaged} staged rows in ${r8.mergeSec}%.1f s
          |(${r8.mergeTouched} files rewritten, ${r8.mergeCarried} carried);
-         |${r32.cores} cores in ${r32.mergeSec}%.1f s.
+         |${r32.cores} cores in ${r32.mergeSec}%.1f s. Post-merge INCREMENTAL
+         |recluster: ${r32.reclusterRows} rows (${100.0 * r32.reclusterRows / r32.rows}%.1f%%
+         |of the table) in ${r32.reclusterSec}%.1f s at ${r32.cores} cores —
+         |steady-state maintenance cost follows the drop, not the table.
          |""".stripMargin
     val benchMd = Paths.get("BENCH.md")
     val existing = if (Files.exists(benchMd)) Files.readString(benchMd)

@@ -43,6 +43,14 @@ object Clustering {
     * under incremental merges, and the cuts only steer layout (never
     * correctness), so skipping the one serial-ish plan scan shrinks the
     * maintenance cadence's fixed cost.
+    *
+    * `incremental`: when true (default) and the table was already
+    * clustered, ONLY groups containing at least one file added since that
+    * cluster commit are rewritten — clean slabs carry forward untouched
+    * (files AND manifests). A merge touching 1% of conversations makes the
+    * follow-up recluster cost ~1% of the table, not 100% — without this,
+    * the maintenance cadence at 10^12 turns rewrites the world after every
+    * drop. The first-ever clustering is always full.
     */
   def cluster(table: LakeTable, jobId: String,
               targetFileRows: Long = 1L << 20,
@@ -50,7 +58,8 @@ object Clustering {
               salts: Int = 16,
               interruptAfter: Int = Int.MaxValue,
               curve: String = "z",
-              reuseCuts: Boolean = true): Result = {
+              reuseCuts: Boolean = true,
+              incremental: Boolean = true): Result = {
     val spark = table.spark
 
     // Idempotence: a snapshot already committed by this job wins outright.
@@ -70,7 +79,9 @@ object Clustering {
         val tPlan = System.nanoTime()
         val files = table.currentFiles
           .sortBy(f => (f.minConv.getOrElse(""), f.minTurn.getOrElse(0)))
-        val planned = planGroups(files, groupTargetBytes).map(_.map(_.path))
+        val allGroups = planGroups(files, groupTargetBytes)
+        val toDo = if (incremental) dirtyGroups(table, allGroups) else allGroups
+        val planned = toDo.map(_.map(_.path))
         val (convCuts, turnCuts) =
           (if (reuseCuts) previousCuts(table) else None)
             .getOrElse(quantileCuts(table, files))
@@ -80,6 +91,8 @@ object Clustering {
         Ledger.readPlan(table, jobId).get
     }
     val groups = plan.groups
+    if (groups.isEmpty) // nothing dirty: the table is already clustered
+      return Result(table.currentSnapshot.get, 0, 0, 0L)
 
     val entryByPath = table.currentEntries.map(e => e.file.path -> e).toMap
     val byPath = (p: String) => entryByPath(p).file
@@ -154,6 +167,24 @@ object Clustering {
         "rows_rewritten" -> rewritten.toString))
     logInfoTime("cluster commit", tCommit)
     Result(snap, groups.size, resumed, rewritten)
+  }
+
+  /** Groups containing at least one DIRTY file — a file not present in the
+    * most recent cluster commit's file set (i.e. added by a merge/append/
+    * compaction since). No previous cluster commit (or its metadata already
+    * expired) -> everything is dirty -> full clustering.
+    */
+  def dirtyGroups(table: LakeTable,
+                  groups: Vector[Vector[DataFile]]): Vector[Vector[DataFile]] = {
+    val clean: Option[Set[String]] =
+      table.allSnapshots.sortBy(-_.id).find(_.operation == "cluster").flatMap { s =>
+        try Some(table.dataFiles(s).map(_.path).toSet)
+        catch { case _: Exception => None } // expired metadata: treat as no baseline
+      }
+    clean match {
+      case None => groups
+      case Some(c) => groups.filter(_.exists(f => !c(f.path)))
+    }
   }
 
   /** Cuts from the most recent committed cluster job's persisted plan, if

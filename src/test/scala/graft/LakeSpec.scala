@@ -320,6 +320,40 @@ class LakeSpec extends AnyFunSuite {
     (a ++ b).foreach(f => assert(Files.exists(Paths.get(t.absData(f.path)))))
   }
 
+  test("incremental recluster: only slabs touched since the last cluster rewrite") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("incr-recluster"), TranscriptSynth.schema)
+    val data = synth(600)
+    t.append(data.repartition(30), "init")
+    Clustering.cluster(t, "incr-a", targetFileRows = 100) // first: full
+    val total = t.currentFiles.map(_.rows).sum
+    val pre = sortedRows(t.scan().df)
+
+    // a merge touching ONE conversation dirties one slab
+    val staged = Seq(("c00000123", "0", "user", "PATCH-123", "", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    MergeInto.merge(t, staged, "one-conv-drop", targetFileRows = 100)
+
+    val res = Clustering.cluster(t, "incr-b", targetFileRows = 100,
+      groupTargetBytes = 64L << 10)
+    assert(res.rowsRewritten > 0, "the dirty slab must be rewritten")
+    assert(res.rowsRewritten < total / 3,
+      s"a 1-conv merge must not trigger a full recluster: " +
+        s"${res.rowsRewritten} of $total rows rewritten")
+
+    val expected = pre.map(r =>
+      if (r.getString(0) == "c00000123" && r.getInt(1) == 0)
+        Row(r.getString(0), r.getInt(1), r.getString(2), "PATCH-123", r.getString(4), r.get(5))
+      else r)
+    assert(sortedRows(t.scan().df) == expected)
+    val scan = t.scan(convRange = Some(("c00000100", "c00000109")))
+    assert(scan.prune.ratio >= 0.9, s"prune after incremental recluster ${scan.prune.ratio}")
+
+    // nothing dirty now: an immediate follow-up job is a no-op
+    val noop = Clustering.cluster(t, "incr-c", targetFileRows = 100)
+    assert(noop.groups == 0 && noop.rowsRewritten == 0L)
+  }
+
   test("skew: the hot conversation neither creates straggler files nor kills pruning") {
     val t = LakeTable.create(spark, tmpTable("skew"), TranscriptSynth.schema)
     // synth conv 0 is HOT (1000 turns vs ~11 mean) — the north-rule skew case
