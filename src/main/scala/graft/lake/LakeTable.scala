@@ -255,13 +255,21 @@ class LakeTable(val root: String, val spark: SparkSession) {
         ManifestRef.of(rel, group.toVector)
     }.toVector
 
+    // Pointer to the most recent cluster commit, PROPAGATED through every
+    // snapshot: incremental maintenance resolves its baseline in O(1)
+    // metadata reads instead of walking the whole snapshot history.
+    val lastCluster: Option[String] =
+      if (operation == "cluster") Some(id.toString)
+      else parent.flatMap(_.summary.get("last_cluster_id"))
+
     val refs = carried ++ newRefs
     val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), seq,
       System.currentTimeMillis(), operation, sch, refs,
       summary ++ Map("total_files" -> refs.map(_.entryCount).sum.toString,
         "total_rows" -> refs.map(_.rows).sum.toString,
         "carried_manifests" -> carried.size.toString,
-        "new_manifests" -> newRefs.size.toString))
+        "new_manifests" -> newRefs.size.toString)
+        ++ lastCluster.map("last_cluster_id" -> _))
 
     // CREATE_NEW: concurrent committers race to the same id; exactly one
     // wins, the other surfaces a conflict instead of silently clobbering.

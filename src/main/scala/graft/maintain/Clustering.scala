@@ -169,6 +169,16 @@ object Clustering {
     Result(snap, groups.size, resumed, rewritten)
   }
 
+  /** The most recent cluster commit, resolved in O(1) metadata reads via
+    * the `last_cluster_id` pointer every commit propagates. None when the
+    * table was never clustered or that snapshot's metadata already expired.
+    */
+  def lastClusterSnapshot(table: LakeTable): Option[graft.lake.Snapshot] =
+    table.currentSnapshot.flatMap(_.summary.get("last_cluster_id")).flatMap { id =>
+      try Some(table.snapshot(id.toLong))
+      catch { case _: Exception => None } // expired metadata: no baseline
+    }
+
   /** Groups containing at least one DIRTY file — a file not present in the
     * most recent cluster commit's file set (i.e. added by a merge/append/
     * compaction since). No previous cluster commit (or its metadata already
@@ -176,11 +186,10 @@ object Clustering {
     */
   def dirtyGroups(table: LakeTable,
                   groups: Vector[Vector[DataFile]]): Vector[Vector[DataFile]] = {
-    val clean: Option[Set[String]] =
-      table.allSnapshots.sortBy(-_.id).find(_.operation == "cluster").flatMap { s =>
-        try Some(table.dataFiles(s).map(_.path).toSet)
-        catch { case _: Exception => None } // expired metadata: treat as no baseline
-      }
+    val clean: Option[Set[String]] = lastClusterSnapshot(table).flatMap { s =>
+      try Some(table.dataFiles(s).map(_.path).toSet)
+      catch { case _: Exception => None }
+    }
     clean match {
       case None => groups
       case Some(c) => groups.filter(_.exists(f => !c(f.path)))
@@ -188,16 +197,14 @@ object Clustering {
   }
 
   /** Cuts from the most recent committed cluster job's persisted plan, if
-    * any — walking snapshots newest-first for a `cluster` operation whose
-    * ledger plan still exists and carries non-empty cuts.
+    * any (the job id lives in the cluster snapshot's summary; the cuts in
+    * its ledger plan).
     */
   def previousCuts(table: LakeTable): Option[(Array[Long], Array[Long])] =
-    table.allSnapshots.sortBy(-_.id).iterator
-      .filter(_.operation == "cluster")
-      .flatMap(s => s.summary.get("job_id"))
+    lastClusterSnapshot(table)
+      .flatMap(_.summary.get("job_id"))
       .flatMap(jid => Ledger.readPlan(table, jid))
-      .collectFirst { case p if p.convCuts.nonEmpty =>
-        (p.convCuts, p.turnCuts) }
+      .collect { case p if p.convCuts.nonEmpty => (p.convCuts, p.turnCuts) }
 
   private def logInfoTime(what: String, t0: Long): Unit =
     System.err.println(f"[graft.cluster] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
