@@ -34,8 +34,10 @@ object Horizontal {
   /** Parse an in-memory content string (single drop) with [[StrictCsv]] —
     * CPython csv.reader parity, so quoted fields containing embedded
     * newlines stay ONE field (a per-line split would shear them into bogus
-    * records). Header = first row, trimmed; data rows pad/truncate to the
-    * header width like DictReader with restkey dropped / restval null.
+    * records). Header = first row; data rows pad/truncate to the header
+    * width like DictReader with restkey dropped / restval null. Duplicate
+    * header names follow DictReader's dict(zip(fieldnames, row)) semantics:
+    * column order = first occurrence, value = LAST occurrence's cell.
     */
   def parseContent(spark: SparkSession, content: String, dialect: Dialect): DataFrame = {
     import org.apache.spark.sql.Row
@@ -46,9 +48,15 @@ object Horizontal {
     if (rows.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))
     val header = rows.head
-    val st = StructType(header.map(h => StructField(h, StringType)))
+    // dedupe on the TRIMMED name (sanitizeColumns trims later): first-seen
+    // order, last occurrence's position supplies the value
+    val order = header.map(_.trim).distinct
+    val lastPos = header.zipWithIndex.groupBy(_._1.trim)
+      .map { case (n, occ) => n -> occ.last._2 }
+    val cols = order.map(n => (n, lastPos(n)))
+    val st = StructType(cols.map { case (n, _) => StructField(n, StringType) })
     val data: java.util.List[Row] = rows.tail.map { r =>
-      Row.fromSeq(header.indices.map(i => if (i < r.length) r(i) else null))
+      Row.fromSeq(cols.map { case (_, i) => if (i < r.length) r(i) else null })
     }.asJava
     sanitizeColumns(spark.createDataFrame(data, st))
   }

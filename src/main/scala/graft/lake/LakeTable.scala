@@ -211,6 +211,17 @@ class LakeTable(val root: String, val spark: SparkSession) {
     val removedByManifest: Map[String, Set[String]] =
       removed.groupBy(_.manifest).map { case (m, es) => m -> es.map(_.file.path).toSet }
     val parentRefs = parent.map(_.manifests).getOrElse(Vector.empty)
+    // Stale-capture guard: if a removed entry's source manifest is no longer
+    // in the parent snapshot, a concurrent commit rewrote it since this
+    // writer planned — carrying it silently would KEEP the rows this commit
+    // replaces (duplicates). Surface the conflict instead.
+    val parentPaths = parentRefs.map(_.path).toSet
+    val stale = removedByManifest.keys.filterNot(parentPaths)
+    if (stale.nonEmpty)
+      throw new CommitConflictException(
+        s"manifest(s) ${stale.mkString(", ")} were rewritten by a concurrent " +
+          s"commit since this $operation was planned (table $root); " +
+          "re-read the table and retry the operation")
     val (touched, carried) = parentRefs.partition(r => removedByManifest.contains(r.path))
     val survivors = touched.flatMap { r =>
       manifest(r.path).entries.filterNot(e => removedByManifest(r.path)(e.path))

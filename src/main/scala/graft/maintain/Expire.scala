@@ -2,6 +2,8 @@ package graft.maintain
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.lake.LakeTable
 
 /** Snapshot expiry + physical GC — the reference's retention cleanup
@@ -37,11 +39,15 @@ object Expire {
     if (expired.isEmpty)
       return Result(Vector.empty, Vector.empty, Vector.empty, Vector.empty)
 
-    val keepData = retained.flatMap(s => table.dataFiles(s)).map(_.path).toSet
+    // Manifests are shared across snapshots (commitDelta carry-forward):
+    // dedupe by path so each manifest is parsed once, not per snapshot.
+    def dataPaths(snaps: Vector[graft.lake.Snapshot]): Vector[String] =
+      snaps.flatMap(_.manifestPaths).distinct
+        .flatMap(p => table.manifest(p).entries.map(_.path))
+    val keepData = dataPaths(retained).toSet
     val keepManifests = retained.flatMap(_.manifestPaths).toSet
 
-    val dropData = expired.flatMap(s => table.dataFiles(s)).map(_.path)
-      .distinct.filterNot(keepData)
+    val dropData = dataPaths(expired).distinct.filterNot(keepData)
     val dropManifests = expired.flatMap(_.manifestPaths)
       .distinct.filterNot(keepManifests)
 
@@ -84,22 +90,24 @@ object OrphanGc {
   def removeOrphans(table: LakeTable,
                     olderThanMs: Long,
                     nowMs: Long = System.currentTimeMillis()): Result = {
-    val referenced = table.allSnapshots.flatMap(s => table.dataFiles(s))
-      .map(_.path).toSet
+    // Manifests are SHARED across snapshots (commitDelta carry-forward):
+    // dedupe by path so each manifest is parsed once, not once per
+    // referencing snapshot.
+    val referenced = table.allSnapshots.flatMap(_.manifestPaths).distinct
+      .flatMap(p => table.manifest(p).entries.map(_.path)).toSet
     val dataDir = Paths.get(table.root, "data")
     val deleted = Vector.newBuilder[String]
     val failures = Vector.newBuilder[String]
     if (Files.exists(dataDir)) {
-      val it = Files.list(dataDir).iterator()
-      while (it.hasNext) {
-        val p = it.next()
+      val stream = Files.list(dataDir)
+      try stream.iterator().asScala.foreach { p =>
         val rel = s"data/${p.getFileName}"
         val oldEnough = Files.getLastModifiedTime(p).toMillis < nowMs - olderThanMs
         if (!referenced(rel) && oldEnough) {
           try { Files.deleteIfExists(p); deleted += rel }
           catch { case e: Exception => failures += s"$rel: ${e.getMessage}" }
         }
-      }
+      } finally stream.close()
     }
     Result(deleted.result(), failures.result())
   }

@@ -17,16 +17,20 @@ object Materialize {
 
   final case class Artifact(path: String, snapshotId: Long, rebuilt: Boolean)
 
-  /** Artifact directories are keyed by (name, snapshot): a new snapshot is a
-    * NEW artifact (the reference regenerates after reprocessing), while
-    * re-requesting the same version is a cache hit.
+  /** Artifact directories are keyed by (name, snapshot, conv range): a new
+    * snapshot is a NEW artifact (the reference regenerates after
+    * reprocessing), a different range is a DIFFERENT artifact (a full
+    * export must never be served a cached range-limited one), and
+    * re-requesting the same version+range is a cache hit.
     */
   def sanitizedCsv(table: LakeTable, outRoot: String, name: String,
                    convRange: Option[(String, String)] = None,
                    snapshotId: Option[Long] = None): Artifact = {
     val snap = snapshotId.orElse(table.currentSnapshotId)
       .getOrElse(throw new IllegalStateException("no snapshot to materialize"))
-    val dir = Paths.get(outRoot, s"$name-snap$snap")
+    val rangeKey = convRange.fold("full") { case (lo, hi) =>
+      s"$lo-$hi".replaceAll("[^A-Za-z0-9._-]", "_") }
+    val dir = Paths.get(outRoot, s"$name-snap$snap-$rangeKey")
     if (Files.exists(dir.resolve("_SUCCESS")))
       Artifact(dir.toString, snap, rebuilt = false)
     else {

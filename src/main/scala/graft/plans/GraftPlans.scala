@@ -90,31 +90,34 @@ class PruneGraftScans(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def pruned(g: GraftTableScan, cond: Expression): LogicalPlan = {
-    val convR = rangeOf(cond, "conv_id").map {
+    val convR = rangeOf(cond, "conv_id", stringDomain = true).map {
       case (lo, hi) => (lo.toString, hi.toString) }
-    val turnR = rangeOf(cond, "turn_idx").map {
-      case (lo, hi) => (toInt(lo), toInt(hi)) }
+    val turnR = rangeOf(cond, "turn_idx", stringDomain = false).map {
+      case (lo, hi) => (lo.asInstanceOf[Int], hi.asInstanceOf[Int]) }
     rewrite(g, convR, turnR)
   }
 
-  private def toInt(v: Any): Int = v match {
-    case i: Int => i; case l: Long => l.toInt; case s: Short => s.toInt
-    case o => o.toString.toInt
-  }
-
   /** Conservative range extraction: only top-level AND conjuncts of
-    * =, >=, <=, >, <, BETWEEN on the named column vs literals. Anything
-    * else simply stays residual (correct, just unpruned).
+    * =, >=, <=, >, <, BETWEEN comparing the BARE named column (no Cast —
+    * a coerced comparison evaluates in a different ordering domain than
+    * the string/int manifest stats, so pruning on it would be WRONG, e.g.
+    * turn_idx vs a BIGINT beyond Int range, or conv_id vs a number) against
+    * a literal of the column's own stats type (String for conv_id, integral
+    * within Int range for turn_idx). Anything else simply stays residual
+    * (correct, just unpruned).
     */
-  private def rangeOf(cond: Expression, name: String): Option[(Any, Any)] = {
+  private def rangeOf(cond: Expression, name: String,
+                      stringDomain: Boolean): Option[(Any, Any)] = {
     def lit(e: Expression): Option[Any] = e match {
-      case Literal(v: UTF8String, StringType) => Some(v.toString)
-      case Literal(v, _) => Some(v)
+      case Literal(v: UTF8String, StringType) if stringDomain => Some(v.toString)
+      case Literal(v: Int, _) if !stringDomain => Some(v)
+      case Literal(v: Long, _) if !stringDomain &&
+        v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
+      case Literal(v: Short, _) if !stringDomain => Some(v.toInt)
       case _ => None
     }
     def isCol(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name == name
-      case Cast(a: AttributeReference, _, _, _) => a.name == name
       case _ => false
     }
     var lo: Option[Any] = None

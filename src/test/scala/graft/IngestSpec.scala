@@ -215,6 +215,14 @@ class MultilineHorizontalSpec extends AnyFunSuite {
     assert(rows(0).getString(2) == "") // sanitize maps null -> ""
     assert(rows(1).toSeq == Seq("3", "4", "5"))
   }
+
+  test("duplicate header names: DictReader semantics (first-seen order, last value wins)") {
+    val df = Horizontal.parseContent(spark, "a,b,a\n1,2,3\n4,5,6", Dialect.Excel)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    val rows = df.orderBy("a").collect()
+    assert(rows(0).toSeq == Seq("3", "2")) // a = LAST occurrence's cell
+    assert(rows(1).toSeq == Seq("6", "5"))
+  }
 }
 
 class LayoutSpec extends AnyFunSuite {

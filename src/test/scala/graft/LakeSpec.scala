@@ -300,6 +300,19 @@ class LakeSpec extends AnyFunSuite {
     assert(sortedRows(scan.df) == expected)
   }
 
+  test("commitDelta rejects removals planned against a rewritten manifest") {
+    val t = LakeTable.create(spark, tmpTable("stale-delta"), TranscriptSynth.schema)
+    t.append(synth(40).repartitionByRange(8, col("conv_id")), "init")
+    // writer B plans a removal against the current layout...
+    val planned = t.currentEntries.take(2)
+    // ...then a concurrent maintenance commit rewrites every manifest
+    ManifestRewrite.rewrite(t, entriesPerManifest = 3)
+    // B's commit must surface the conflict, not silently duplicate rows
+    intercept[LakeTable.CommitConflictException] {
+      t.commitDelta(Vector.empty, planned, "stale-compact")
+    }
+  }
+
   test("commit conflict: concurrent writers to the same parent cannot both win") {
     val t = LakeTable.create(spark, tmpTable("conflict"), TranscriptSynth.schema)
     t.append(synth(10), "init")
@@ -436,6 +449,14 @@ class LakeSpec extends AnyFunSuite {
     t.append(synth(5).where(col("conv_id") === "c00000099"), "more")
     val v2 = Materialize.sanitizedCsv(t, outRoot, "export")
     assert(v2.rebuilt && v2.path != first.path && v2.snapshotId > first.snapshotId)
+
+    // a DIFFERENT conv range is a DIFFERENT artifact — a full export must
+    // never be served a cached range-limited one
+    val ranged = Materialize.sanitizedCsv(t, outRoot, "export",
+      convRange = Some(("c00000001", "c00000003")))
+    assert(ranged.rebuilt && ranged.path != v2.path)
+    val full2 = Materialize.sanitizedCsv(t, outRoot, "export")
+    assert(!full2.rebuilt && full2.path == v2.path)
   }
 
   test("synth determinism: same seed => identical data") {

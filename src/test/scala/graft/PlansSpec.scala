@@ -74,6 +74,22 @@ class PlansSpec extends AnyFunSuite {
     assert(scannedFiles(df) == 5, "non-range predicate keeps the full file set")
   }
 
+  test("type-coerced predicates never prune (wrong ordering domain)") {
+    val t = freshTable("plans-coerce", 50, 5)
+    GraftPlans.install(spark)
+    val all = t.scan().df.count()
+    // BIGINT bound beyond Int range: Catalyst casts turn_idx to long, the
+    // rule must NOT truncate the literal into a bogus Int bound
+    val big = GraftPlans.scan(spark, t)
+      .where(col("turn_idx") >= 0L && col("turn_idx") <= 3000000000L)
+    assert(big.count() == all, "coerced bigint range must not prune rows away")
+    // string column compared against a numeric-ish string is fine, but a
+    // DOUBLE bound on turn_idx must fall back to an unpruned scan
+    val frac = GraftPlans.scan(spark, t)
+      .where(col("turn_idx") >= 0 && col("turn_idx") <= lit(2.5))
+    assert(frac.count() == t.scan().df.where(col("turn_idx") <= 2.5).count())
+  }
+
   test("no filter at all reads everything") {
     val t = freshTable("plans-full", 50, 5)
     GraftPlans.install(spark)
