@@ -21,7 +21,18 @@ object Normalize {
     */
   def alignToSchema(df: DataFrame, schema: TableSchema,
                     passthrough: Seq[String] = Nil): (DataFrame, TableSchema) = {
-    val trimmed = df.toDF(df.columns.map(_.trim).toIndexedSeq: _*)
+    // Columns whose names collide AFTER trimming ("note" vs "note ") must
+    // not reach evolve/select as duplicates (ambiguous references, duplicate
+    // field-IDs). DictReader-parity dedupe: first-seen order, the LAST
+    // occurrence supplies the values. Positional temp names make the select
+    // unambiguous even for raw duplicate headers.
+    val rawNames = df.columns
+    val tmp = df.toDF(rawNames.indices.map(i => s"__c$i"): _*)
+    val trimmedNames = rawNames.map(_.trim)
+    val order = trimmedNames.distinct.toIndexedSeq
+    val lastPos = trimmedNames.zipWithIndex.groupBy(_._1)
+      .map { case (n, occ) => n -> occ.last._2 }
+    val trimmed = tmp.select(order.map(n => col(s"__c${lastPos(n)}").as(n)): _*)
     val ctl = passthrough.toSet
     val incoming = trimmed.schema.fields
       .filterNot(f => ctl(f.name))

@@ -61,11 +61,11 @@ class LakeTable(val root: String, val spark: SparkSession) {
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshot)
 
   def allSnapshots: Vector[Snapshot] =
-    Files.list(metaDir).iterator().asScala
+    LakeTable.listDir(metaDir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
       .map(n => n.stripPrefix("snap-").stripSuffix(".json").toLong)
-      .toVector.sorted.map(snapshot)
+      .sorted.map(snapshot)
 
   def manifest(path: String): Manifest =
     MetaJson.manifestFromJson(path, MetaJson.read(
@@ -80,6 +80,13 @@ class LakeTable(val root: String, val spark: SparkSession) {
     */
   def fileEntries(s: Snapshot): Vector[FileEntry] =
     s.manifests.flatMap(r => manifest(r.path).entries.map(FileEntry(r.path, _)))
+
+  /** Data-file paths referenced by a set of manifests, each manifest parsed
+    * ONCE (manifests are shared across snapshots by commitDelta's
+    * carry-forward, so per-snapshot walks re-parse them).
+    */
+  def dataPathsOf(manifestPaths: Seq[String]): Vector[String] =
+    manifestPaths.distinct.toVector.flatMap(p => manifest(p).entries.map(_.path))
 
   def currentFiles: Vector[DataFile] = currentSnapshot.map(dataFiles).getOrElse(Vector.empty)
 
@@ -166,8 +173,8 @@ class LakeTable(val root: String, val spark: SparkSession) {
     df.write.mode("overwrite").option("compression", "zstd").parquet(staging.toString)
     Files.createDirectories(dataDir)
     val conf = spark.sessionState.newHadoopConf()
-    val parts = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toVector.sortBy(_.toString)
+    val parts = LakeTable.listDir(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     // Footer reads are independent metadata fetches — do them concurrently.
     val entries = graft.maintain.Parallel.mapInParallel(parts.zipWithIndex, 16) {
       case (p, i) =>
@@ -331,9 +338,23 @@ object LakeTable {
     Files.write(p, s.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Files.list with the stream CLOSED — the bare iterator() holds the
+    * directory fd open until GC, which leaks under a maintenance cadence.
+    */
+  def listDir(p: Path): Vector[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  /** Files.walk, stream closed (see [[listDir]]). */
+  def walkDir(p: Path): Vector[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
+      walkDir(p).reverse.foreach(Files.deleteIfExists(_))
     }
   }
 }

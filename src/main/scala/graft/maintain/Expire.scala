@@ -31,25 +31,27 @@ object Expire {
     val currentId = table.currentSnapshotId.get
 
     val newestFirst = snaps.sortBy(-_.id)
+    // `olderThanMs` is an AGE (the reference's retention duration,
+    // cleanup.py cutoff = now - retention), not an absolute cutoff:
+    // a snapshot stays retained only while younger than the age.
     val retained = newestFirst.zipWithIndex.filter { case (s, idx) =>
       s.id == currentId ||
-        (idx < retainLast && olderThanMs.forall(cut => s.timestampMs >= cut))
+        (idx < retainLast && olderThanMs.forall(age => s.timestampMs >= nowMs - age))
     }.map(_._1)
     val expired = snaps.filterNot(s => retained.exists(_.id == s.id))
     if (expired.isEmpty)
       return Result(Vector.empty, Vector.empty, Vector.empty, Vector.empty)
 
     // Manifests are shared across snapshots (commitDelta carry-forward):
-    // dedupe by path so each manifest is parsed once, not per snapshot.
-    def dataPaths(snaps: Vector[graft.lake.Snapshot]): Vector[String] =
-      snaps.flatMap(_.manifestPaths).distinct
-        .flatMap(p => table.manifest(p).entries.map(_.path))
-    val keepData = dataPaths(retained).toSet
+    // each manifest is parsed at most ONCE — retained ones for the keep
+    // set, expired-ONLY ones for drop candidates (files in a shared
+    // manifest are kept wholesale, no need to open it twice).
     val keepManifests = retained.flatMap(_.manifestPaths).toSet
-
-    val dropData = dataPaths(expired).distinct.filterNot(keepData)
+    val keepData = table.dataPathsOf(keepManifests.toSeq).toSet
     val dropManifests = expired.flatMap(_.manifestPaths)
       .distinct.filterNot(keepManifests)
+    val dropData = table.dataPathsOf(dropManifests)
+      .distinct.filterNot(keepData)
 
     val failures = Vector.newBuilder[String]
     val deletedData = Vector.newBuilder[String]
@@ -91,10 +93,9 @@ object OrphanGc {
                     olderThanMs: Long,
                     nowMs: Long = System.currentTimeMillis()): Result = {
     // Manifests are SHARED across snapshots (commitDelta carry-forward):
-    // dedupe by path so each manifest is parsed once, not once per
-    // referencing snapshot.
-    val referenced = table.allSnapshots.flatMap(_.manifestPaths).distinct
-      .flatMap(p => table.manifest(p).entries.map(_.path)).toSet
+    // dataPathsOf parses each referenced manifest once.
+    val referenced =
+      table.dataPathsOf(table.allSnapshots.flatMap(_.manifestPaths)).toSet
     val dataDir = Paths.get(table.root, "data")
     val deleted = Vector.newBuilder[String]
     val failures = Vector.newBuilder[String]

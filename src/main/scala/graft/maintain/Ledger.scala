@@ -92,7 +92,7 @@ object Ledger {
   def readTasks(table: LakeTable, jobId: String): Map[Int, TaskRow] = {
     val dir = jobDir(table, jobId)
     if (!Files.exists(dir)) Map.empty
-    else Files.list(dir).iterator().asScala
+    else LakeTable.listDir(dir)
       .filter(_.getFileName.toString.startsWith("task-"))
       .map { p => taskFromJson(MetaJson.read(Files.readString(p))) }
       .map(t => t.taskId -> t).toMap
@@ -109,8 +109,8 @@ object Ledger {
   def asDataFrame(table: LakeTable, spark: SparkSession): DataFrame = {
     import spark.implicits._
     val rows = if (!Files.exists(table.ledgerDir)) Vector.empty
-    else Files.walk(table.ledgerDir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("task-")).toVector
+    else LakeTable.walkDir(table.ledgerDir)
+      .filter(p => p.getFileName.toString.startsWith("task-"))
       .map(p => taskFromJson(MetaJson.read(Files.readString(p))))
       .map(t => (t.jobId, t.taskId, t.state, t.inFiles.size, t.outFiles.size,
         t.rows, t.bytes, t.durationMs, t.errorMessage))

@@ -28,8 +28,14 @@ object Materialize {
                    snapshotId: Option[Long] = None): Artifact = {
     val snap = snapshotId.orElse(table.currentSnapshotId)
       .getOrElse(throw new IllegalStateException("no snapshot to materialize"))
+    // Unambiguous range key: a readable separator would collide for ids
+    // containing it (UUID hyphens) and filesystem sanitization is
+    // many-to-one — hash (lo NUL hi) instead.
     val rangeKey = convRange.fold("full") { case (lo, hi) =>
-      s"$lo-$hi".replaceAll("[^A-Za-z0-9._-]", "_") }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest((lo + "\u0000" + hi).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      "r" + d.take(8).map("%02x".format(_)).mkString
+    }
     val dir = Paths.get(outRoot, s"$name-snap$snap-$rangeKey")
     if (Files.exists(dir.resolve("_SUCCESS")))
       Artifact(dir.toString, snap, rebuilt = false)

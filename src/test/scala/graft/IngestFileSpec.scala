@@ -82,4 +82,18 @@ class IngestFileSpec extends AnyFunSuite {
     val (valid, rejected) = Normalize.routeInvalid(alignedBad)
     assert(valid.isEmpty && rejected.count() == 1)
   }
+
+  test("alignToSchema dedupes post-trim colliding columns (last value wins)") {
+    import spark.implicits._
+    val base = TableSchema.fromStruct(TranscriptSynth.schema)
+    // "note" and "note " trim to the same name — one evolved field, the
+    // LAST occurrence's value wins (DictReader parity)
+    val drop = Seq(("c1", "0", "user", "hi", "first", "second"))
+      .toDF("conv_id", "turn_idx", "role", "text", "note", " note ")
+    val (aligned, evolved) = Normalize.alignToSchema(drop, base)
+    assert(evolved.fieldNames.count(_ == "note") == 1)
+    assert(evolved.lastFieldId == base.lastFieldId + 1)
+    assert(aligned.head().getAs[String]("note") == "second")
+    assert(aligned.head().getAs[String]("text") == "hi")
+  }
 }

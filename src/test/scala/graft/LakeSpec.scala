@@ -225,6 +225,22 @@ class LakeSpec extends AnyFunSuite {
     assert(sortedRows(t.scan().df) == pre, "current snapshot must survive expiry")
   }
 
+  test("expiry by age: olderThanMs is a retention AGE, not an absolute cutoff") {
+    val t = LakeTable.create(spark, tmpTable("expire-age"), TranscriptSynth.schema)
+    t.append(synth(5), "first")
+    t.append(synth(3).where(col("conv_id") === "c00000099"), "second")
+    val n = t.allSnapshots.size
+    assert(n >= 3)
+    // young snapshots (age << 24h) stay even with a generous retainLast
+    val young = Expire.expire(t, retainLast = 10, olderThanMs = Some(24L * 3600 * 1000))
+    assert(young.expiredSnapshots.isEmpty, "nothing is older than 24h yet")
+    // injected clock 10s ahead + 5s retention: everything but current expires
+    val aged = Expire.expire(t, retainLast = 10, olderThanMs = Some(5000L),
+      nowMs = System.currentTimeMillis() + 10000)
+    assert(aged.expiredSnapshots.size == n - 1, s"expired ${aged.expiredSnapshots}")
+    assert(t.allSnapshots.map(_.id) == Vector(t.currentSnapshotId.get))
+  }
+
   test("manifest rewrite: pure metadata op, data unchanged, bounded manifests") {
     val t = LakeTable.create(spark, tmpTable("manifest"), TranscriptSynth.schema)
     t.append(synth(50).repartitionByRange(12, col("conv_id")), "init")
