@@ -170,11 +170,14 @@ object SparkEntry {
     }),
 
     // prefix(256) fingerprint: DuckDB 1.0 generate_series takes only
-    // constant bounds, so the oracle joins a constant 1..256 position table
+    // constant bounds, so the oracle joins a constant 1..256 position table.
+    // coalesce(..., 0) pins empty/NULL text to fp=0 on BOTH sides (the
+    // oracle's LEFT JOIN aggregates no rows there).
     "q13_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          TextMetrics.fingerprint(substring(col("text"), 1, 256)).as("fp"))
+          coalesce(TextMetrics.fingerprint(substring(col("text"), 1, 256)), lit(0L))
+            .as("fp"))
         .orderBy("doc_id")),
 
     "q14_jaccard_pairs" -> ((s, d) => {
@@ -337,14 +340,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // explode_outer + count(chunk): an empty payload must yield an
+    // (n_chunks=0, total_bytes=0) row, like the oracle, not vanish
     "q27_media_chunks" -> ((s, d) => {
       val media = graft.functions.Multimodal.fakeMediaFromText(
         t(s, d, "documents"), "doc_id", "text")
       media.select(col("media_id"),
-          explode(graft.functions.Multimodal.binaryChunks(col("content"), 64)).as("chunk"))
+          explode_outer(graft.functions.Multimodal.binaryChunks(col("content"), 64)).as("chunk"))
         .groupBy("media_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(octet_length(col("chunk")).cast("long")).as("total_bytes"))
+        .agg(count(col("chunk")).as("n_chunks"),
+          coalesce(sum(octet_length(col("chunk")).cast("long")), lit(0L)).as("total_bytes"))
         .orderBy("media_id")
     }),
   )
@@ -448,8 +453,8 @@ object SparkEntry {
 
     "q13_fingerprint" ->
       """WITH pos AS (SELECT i FROM generate_series(1, 256) AS g(i))
-        |SELECT d.doc_id, CAST(sum(ascii(substring(d.text, p.i, 1)) * ((p.i % 31) + 1)) AS BIGINT) AS fp
-        |FROM documents d JOIN pos p ON p.i <= least(length(d.text), 256)
+        |SELECT d.doc_id, CAST(coalesce(sum(ascii(substring(d.text, p.i, 1)) * ((p.i % 31) + 1)), 0) AS BIGINT) AS fp
+        |FROM documents d LEFT JOIN pos p ON p.i <= least(length(d.text), 256)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q14_jaccard_pairs" ->

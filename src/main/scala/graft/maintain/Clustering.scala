@@ -62,8 +62,11 @@ object Clustering {
               incremental: Boolean = true): Result = {
     val spark = table.spark
 
-    // Idempotence: a snapshot already committed by this job wins outright.
-    table.allSnapshots.find(_.summary.get("job_id").contains(jobId)).foreach { s =>
+    // Idempotence: a snapshot already committed by THIS CLUSTER job wins
+    // outright (operation-scoped: a compact job sharing the id must not
+    // masquerade as the cluster result).
+    table.allSnapshots.find(s => s.operation == "cluster" &&
+        s.summary.get("job_id").contains(jobId)).foreach { s =>
       return Result(s, 0, 0, 0L)
     }
 
@@ -71,6 +74,8 @@ object Clustering {
     // the quantile cuts ARE the curve, so they persist with the plan).
     val plan = Ledger.readPlan(table, jobId) match {
       case Some(p) =>
+        require(p.kind.isEmpty || p.kind == "cluster",
+          s"ledger id collision: plan for $jobId belongs to a '${p.kind}' job")
         require(table.currentSnapshotId.contains(p.baseSnapshotId),
           s"ledger plan for $jobId was computed on snapshot ${p.baseSnapshotId} " +
             s"but current is ${table.currentSnapshotId}; stale plan")
@@ -86,7 +91,8 @@ object Clustering {
           (if (reuseCuts) previousCuts(table) else None)
             .getOrElse(quantileCuts(table, files))
         val base = table.currentSnapshotId.get
-        Ledger.writePlan(table, jobId, base, planned, convCuts, turnCuts, curve)
+        Ledger.writePlan(table, jobId, base, planned, convCuts, turnCuts, curve,
+          kind = "cluster")
         logInfoTime("cluster plan (incl. quantile pass)", tPlan)
         Ledger.readPlan(table, jobId).get
     }

@@ -22,12 +22,17 @@ object Compaction {
               targetBytes: Long = 128L << 20): Result = {
     val spark = table.spark
 
-    table.allSnapshots.find(_.summary.get("job_id").contains(jobId)).foreach { s =>
+    // operation-scoped idempotence: only a COMPACT snapshot with this job
+    // id short-circuits (see the matching guard in Clustering)
+    table.allSnapshots.find(s => s.operation == "compact" &&
+        s.summary.get("job_id").contains(jobId)).foreach { s =>
       return Result(Some(s), 0, 0, 0)
     }
 
     val plannedBins = Ledger.readPlan(table, jobId) match {
       case Some(p) =>
+        require(p.kind.isEmpty || p.kind == "compact",
+          s"ledger id collision: plan for $jobId belongs to a '${p.kind}' job")
         require(table.currentSnapshotId.contains(p.baseSnapshotId),
           s"stale compaction plan for $jobId (base ${p.baseSnapshotId})")
         p.groups
@@ -36,7 +41,7 @@ object Compaction {
         val bins = firstFitDecreasing(small, targetBytes)
           .filter(_.size > 1) // a lone small file gains nothing from rewrite
           .map(_.map(_.path))
-        Ledger.writePlan(table, jobId, table.currentSnapshotId.get, bins)
+        Ledger.writePlan(table, jobId, table.currentSnapshotId.get, bins, kind = "compact")
         bins
     }
 

@@ -32,11 +32,14 @@ object Expire {
 
     val newestFirst = snaps.sortBy(-_.id)
     // `olderThanMs` is an AGE (the reference's retention duration,
-    // cleanup.py cutoff = now - retention), not an absolute cutoff:
-    // a snapshot stays retained only while younger than the age.
+    // cleanup.py cutoff = now - retention). Iceberg-style semantics: a
+    // snapshot is retained while YOUNGER than the age OR among the newest
+    // retainLast — expiry needs both "old enough" and "beyond the floor",
+    // so a reader pinned inside the retention window is never broken early.
     val retained = newestFirst.zipWithIndex.filter { case (s, idx) =>
       s.id == currentId ||
-        (idx < retainLast && olderThanMs.forall(age => s.timestampMs >= nowMs - age))
+        idx < retainLast ||
+        olderThanMs.exists(age => s.timestampMs >= nowMs - age)
     }.map(_._1)
     val expired = snaps.filterNot(s => retained.exists(_.id == s.id))
     if (expired.isEmpty)
@@ -92,10 +95,14 @@ object OrphanGc {
   def removeOrphans(table: LakeTable,
                     olderThanMs: Long,
                     nowMs: Long = System.currentTimeMillis()): Result = {
-    // Manifests are SHARED across snapshots (commitDelta carry-forward):
-    // dataPathsOf parses each referenced manifest once.
+    // Referenced = every snapshot's data files PLUS every ledger-checkpointed
+    // task output: an interrupted job's finished groups live only in the
+    // ledger until the final commit — sweeping them would make the resumed
+    // job publish a snapshot over deleted files. (Manifests are SHARED
+    // across snapshots; dataPathsOf parses each one once.)
     val referenced =
-      table.dataPathsOf(table.allSnapshots.flatMap(_.manifestPaths)).toSet
+      table.dataPathsOf(table.allSnapshots.flatMap(_.manifestPaths)).toSet ++
+        Ledger.allTaskRows(table).flatMap(_.outFiles.map(_.path))
     val dataDir = Paths.get(table.root, "data")
     val deleted = Vector.newBuilder[String]
     val failures = Vector.newBuilder[String]

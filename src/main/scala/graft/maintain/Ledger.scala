@@ -37,7 +37,7 @@ object Ledger {
 
   final case class Plan(baseSnapshotId: Long, groups: Vector[Vector[String]],
                         convCuts: Array[Long], turnCuts: Array[Long],
-                        curve: String = "z")
+                        curve: String = "z", kind: String = "")
 
   /** Persist the job plan (task -> input files, base snapshot, quantile
     * cuts) before any work starts; resume MUST reuse the stored plan — and
@@ -47,11 +47,12 @@ object Ledger {
                 groups: Vector[Vector[String]],
                 convCuts: Array[Long] = Array.empty,
                 turnCuts: Array[Long] = Array.empty,
-                curve: String = "z"): Unit = {
+                curve: String = "z", kind: String = ""): Unit = {
     val o = MetaJson.mapper.createObjectNode()
     o.put("job_id", jobId)
     o.put("base_snapshot_id", baseSnapshotId)
     o.put("curve", curve)
+    o.put("kind", kind)
     val arr = o.putArray("groups")
     groups.foreach { g => val ga = arr.addArray(); g.foreach(ga.add) }
     val cc = o.putArray("conv_cuts"); convCuts.foreach(cc.add)
@@ -71,7 +72,8 @@ object Ledger {
         _.elements().asScala.map(_.asLong).toArray).getOrElse(Array.empty)
       Some(Plan(n.get("base_snapshot_id").asLong, groups,
         longs("conv_cuts"), longs("turn_cuts"),
-        Option(n.get("curve")).map(_.asText).getOrElse("z")))
+        Option(n.get("curve")).map(_.asText).getOrElse("z"),
+        Option(n.get("kind")).map(_.asText).getOrElse("")))
     }
   }
 
@@ -89,14 +91,32 @@ object Ledger {
     atomicWrite(table, row.jobId, f"task-${row.taskId}%05d.json", MetaJson.write(o))
   }
 
+  /** A COMPLETE task row file: atomicWrite's crash residue (`task-*.json.tmp`,
+    * truncated) must never poison resume — only the atomically-moved final
+    * name counts.
+    */
+  private def isTaskFile(p: java.nio.file.Path): Boolean = {
+    val n = p.getFileName.toString
+    n.startsWith("task-") && n.endsWith(".json")
+  }
+
   def readTasks(table: LakeTable, jobId: String): Map[Int, TaskRow] = {
     val dir = jobDir(table, jobId)
     if (!Files.exists(dir)) Map.empty
     else LakeTable.listDir(dir)
-      .filter(_.getFileName.toString.startsWith("task-"))
+      .filter(isTaskFile)
       .map { p => taskFromJson(MetaJson.read(Files.readString(p))) }
       .map(t => t.taskId -> t).toMap
   }
+
+  /** Every task row across all jobs — OrphanGc consults this so checkpointed
+    * outputs of in-flight/interrupted jobs are never swept as orphans.
+    */
+  def allTaskRows(table: LakeTable): Vector[TaskRow] =
+    if (!Files.exists(table.ledgerDir)) Vector.empty
+    else LakeTable.walkDir(table.ledgerDir)
+      .filter(isTaskFile)
+      .map(p => taskFromJson(MetaJson.read(Files.readString(p))))
 
   private def taskFromJson(n: JsonNode): TaskRow = TaskRow(
     n.get("job_id").asText, n.get("task_id").asInt, n.get("state").asText,
@@ -108,10 +128,7 @@ object Ledger {
   /** Ledger as a DataFrame for metrics/reporting queries. */
   def asDataFrame(table: LakeTable, spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val rows = if (!Files.exists(table.ledgerDir)) Vector.empty
-    else LakeTable.walkDir(table.ledgerDir)
-      .filter(p => p.getFileName.toString.startsWith("task-"))
-      .map(p => taskFromJson(MetaJson.read(Files.readString(p))))
+    val rows = allTaskRows(table)
       .map(t => (t.jobId, t.taskId, t.state, t.inFiles.size, t.outFiles.size,
         t.rows, t.bytes, t.durationMs, t.errorMessage))
     rows.toDF("job_id", "task_id", "state", "n_in_files", "n_out_files",

@@ -86,15 +86,15 @@ class PruneGraftScans(spark: SparkSession) extends Rule[LogicalPlan] {
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
       // column pruning may slide a plain Project between filter and leaf
       Filter(cond, p.copy(child = pruned(g, cond)))
-    case g: GraftTableScan => rewrite(g, None, None)
+    case g: GraftTableScan => rewrite(g)
   }
 
   private def pruned(g: GraftTableScan, cond: Expression): LogicalPlan = {
-    val convR = rangeOf(cond, "conv_id", stringDomain = true).map {
-      case (lo, hi) => (lo.toString, hi.toString) }
-    val turnR = rangeOf(cond, "turn_idx", stringDomain = false).map {
-      case (lo, hi) => (lo.asInstanceOf[Int], hi.asInstanceOf[Int]) }
-    rewrite(g, convR, turnR)
+    val (cLo, cHi) = rangeOf(cond, "conv_id", stringDomain = true)
+    val (tLo, tHi) = rangeOf(cond, "turn_idx", stringDomain = false)
+    rewrite(g,
+      Bounds(cLo.map(_.toString), cHi.map(_.toString)),
+      Bounds(tLo.map(_.asInstanceOf[Int]), tHi.map(_.asInstanceOf[Int])))
   }
 
   /** Conservative range extraction: only top-level AND conjuncts of
@@ -107,7 +107,7 @@ class PruneGraftScans(spark: SparkSession) extends Rule[LogicalPlan] {
     * (correct, just unpruned).
     */
   private def rangeOf(cond: Expression, name: String,
-                      stringDomain: Boolean): Option[(Any, Any)] = {
+                      stringDomain: Boolean): (Option[Any], Option[Any]) = {
     def lit(e: Expression): Option[Any] = e match {
       case Literal(v: UTF8String, StringType) if stringDomain => Some(v.toString)
       case Literal(v: Int, _) if !stringDomain => Some(v)
@@ -141,7 +141,7 @@ class PruneGraftScans(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => ()
     }
     walk(cond)
-    for (l <- lo; h <- hi) yield (l, h)
+    (lo, hi) // one-sided bounds prune too (e.g. conv_id >= 'u999990')
   }
 
   private def maxOf(a: Any, b: Any): Any = (a, b) match {
@@ -156,20 +156,28 @@ class PruneGraftScans(spark: SparkSession) extends Rule[LogicalPlan] {
     case i: Int => i.toLong; case l: Long => l; case o => o.toString.toLong
   }
 
+  /** Possibly one-sided bounds; a missing side never prunes. */
+  private case class Bounds[T](lo: Option[T], hi: Option[T]) {
+    def overlaps(mn: Option[T], mx: Option[T])(implicit ord: Ordering[T]): Boolean =
+      (mn, mx) match {
+        case (Some(a), Some(b)) =>
+          lo.forall(l => ord.gteq(b, l)) && hi.forall(h => ord.lteq(a, h))
+        case _ => true // missing stats: always scanned (safe)
+      }
+  }
+
   private def rewrite(g: GraftTableScan,
-                      convR: Option[(String, String)],
-                      turnR: Option[(Int, Int)]): LogicalPlan = {
+                      convR: Bounds[String] = Bounds(None, None),
+                      turnR: Bounds[Int] = Bounds(None, None)): LogicalPlan = {
     val table = LakeTable.load(spark, g.root)
     val snap = g.snapshotId.map(table.snapshot)
       .getOrElse(table.currentSnapshot.get)
     val overlapping = snap.manifests.filter { r =>
-      convR.forall { case (lo, hi) => r.overlapsConv(lo, hi) } &&
-      turnR.forall { case (lo, hi) => r.overlapsTurn(lo, hi) }
+      convR.overlaps(r.minConv, r.maxConv) && turnR.overlaps(r.minTurn, r.maxTurn)
     }
     val selected = overlapping.flatMap(r => table.manifest(r.path).entries)
       .filter { f =>
-        convR.forall { case (lo, hi) => f.overlapsConv(lo, hi) } &&
-        turnR.forall { case (lo, hi) => f.overlapsTurn(lo, hi) }
+        convR.overlaps(f.minConv, f.maxConv) && turnR.overlaps(f.minTurn, f.maxTurn)
       }
     val st = snap.schema.toStruct
     val rel: LogicalPlan =

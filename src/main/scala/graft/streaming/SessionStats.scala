@@ -68,6 +68,12 @@ object SessionStats {
             case Some(s) if t - s.lastMs > gapMs =>
               out += close(convId, s, "gap")
               cur = Some(SessionState(1, t, t))
+            case Some(s) if s.startMs - t > gapMs =>
+              // a LATE event more than a gap BEFORE the open session
+              // (flatMapGroupsWithState still delivers sub-watermark rows):
+              // it is its own, already-closed earlier session — merging it
+              // would fabricate one session spanning the silence
+              out += close(convId, SessionState(1, t, t), "gap")
             case Some(s) =>
               cur = Some(SessionState(s.nTurns + 1, math.min(s.startMs, t), math.max(s.lastMs, t)))
             case None =>

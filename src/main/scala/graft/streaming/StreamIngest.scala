@@ -38,6 +38,12 @@ object StreamIngest {
     val raw = spark.readStream
       .schema(dropSchema(columns))
       .option("header", "true")
+      // enforceSchema=false makes Spark VALIDATE each file's header against
+      // the declared column names — by default it binds positionally and a
+      // drop with reordered headers would silently mis-assign every column
+      // (the reference's DictReader maps by NAME; failing loudly is the
+      // closest safe streaming equivalent).
+      .option("enforceSchema", "false")
       .option("sep", dialect.delimiter.toString)
       .option("quote", dialect.quote.toString)
       .option("maxFilesPerTrigger", "32")

@@ -231,11 +231,13 @@ class LakeSpec extends AnyFunSuite {
     t.append(synth(3).where(col("conv_id") === "c00000099"), "second")
     val n = t.allSnapshots.size
     assert(n >= 3)
-    // young snapshots (age << 24h) stay even with a generous retainLast
-    val young = Expire.expire(t, retainLast = 10, olderThanMs = Some(24L * 3600 * 1000))
+    // young snapshots stay INSIDE the retention window even beyond
+    // retainLast (retain if young OR among the newest retainLast)
+    val young = Expire.expire(t, retainLast = 1, olderThanMs = Some(24L * 3600 * 1000))
     assert(young.expiredSnapshots.isEmpty, "nothing is older than 24h yet")
-    // injected clock 10s ahead + 5s retention: everything but current expires
-    val aged = Expire.expire(t, retainLast = 10, olderThanMs = Some(5000L),
+    // injected clock 10s ahead + 5s retention: everything beyond retainLast
+    // is now old enough to expire
+    val aged = Expire.expire(t, retainLast = 1, olderThanMs = Some(5000L),
       nowMs = System.currentTimeMillis() + 10000)
     assert(aged.expiredSnapshots.size == n - 1, s"expired ${aged.expiredSnapshots}")
     assert(t.allSnapshots.map(_.id) == Vector(t.currentSnapshotId.get))
@@ -433,12 +435,18 @@ class LakeSpec extends AnyFunSuite {
     // a crashed attempt: files written, never committed
     val orphans = t.writeDataFiles(synth(5), "crashed-attempt")
     assert(orphans.nonEmpty)
+    // an INTERRUPTED job's checkpointed group: in the ledger, in no
+    // snapshot — must be spared (resume will adopt these files verbatim)
+    val checkpointed = t.writeDataFiles(synth(3), "job-x-g0")
+    Ledger.writeTask(t, Ledger.TaskRow("job-x", 0, "done",
+      Vector.empty, checkpointed, 3, 1, 1))
     // too fresh -> spared (could be an in-flight writer)
     val spared = OrphanGc.removeOrphans(t, olderThanMs = 60000)
     assert(spared.deleted.isEmpty)
-    // old enough -> swept; committed files untouched
+    // old enough -> swept; committed AND ledger-checkpointed files untouched
     val swept = OrphanGc.removeOrphans(t, olderThanMs = -1)
     assert(swept.deleted.toSet == orphans.map(_.path).toSet)
+    checkpointed.foreach(f => assert(Files.exists(Paths.get(t.absData(f.path)))))
     assert(swept.failures.isEmpty)
     assert(t.currentFiles.map(_.path).toSet == live)
     assert(sortedRows(t.scan().df) == sortedRows(synth(10)))

@@ -90,6 +90,15 @@ class PlansSpec extends AnyFunSuite {
     assert(frac.count() == t.scan().df.where(col("turn_idx") <= 2.5).count())
   }
 
+  test("one-sided range predicates prune (only the matching tail is read)") {
+    val t = freshTable("plans-onesided", 200, 20)
+    GraftPlans.install(spark)
+    val df = GraftPlans.scan(spark, t).where(col("conv_id") >= "c00000190")
+    assert(df.count() == t.scan().df.where(col("conv_id") >= "c00000190").count())
+    assert(scannedFiles(df) <= 2,
+      "a lower-bound-only predicate must still skip the files below it")
+  }
+
   test("no filter at all reads everything") {
     val t = freshTable("plans-full", 50, 5)
     GraftPlans.install(spark)
