@@ -1,0 +1,61 @@
+package graft.maintain
+
+import graft.lake.LakeTable
+
+/** The engine's scheduled maintenance cycle — the reference's 60-minute
+  * APScheduler retention job (backend/app/main.py:40-46) lifted to full
+  * table maintenance. One call per cadence tick:
+  *
+  *   1. compact small files into ~target bins (no shuffle);
+  *   2. recluster — INCREMENTAL: only slabs dirtied since the last cluster
+  *      commit rewrite, with quantile-cut reuse (a no-op when clean);
+  *   3. expire snapshots beyond the retention window (never the newest
+  *      retainLast, never the current);
+  *   4. sweep orphaned data files older than the grace age (never files
+  *      referenced by any snapshot or checkpointed in the ledger).
+  *
+  * Idempotent per cycleId: a crashed cycle re-run resumes compaction bins /
+  * cluster groups from the ledger and skips phases whose snapshot already
+  * committed. Safe under concurrent readers (snapshot isolation) — and a
+  * concurrent WRITER commit surfaces as CommitConflictException rather than
+  * silent lost work.
+  */
+object Maintenance {
+
+  final case class CycleReport(
+      compact: Compaction.Result,
+      cluster: Clustering.Result,
+      expire: Expire.Result,
+      orphans: OrphanGc.Result) {
+    def summary: String =
+      s"compact: ${compact.bins} bins (${compact.filesCompacted} files); " +
+        s"cluster: ${cluster.groups} groups, ${cluster.rowsRewritten} rows; " +
+        s"expire: ${expire.expiredSnapshots.size} snapshots, " +
+        s"${expire.deletedDataFiles.size} data files; " +
+        s"orphans: ${orphans.deleted.size} swept"
+  }
+
+  def runCycle(table: LakeTable, cycleId: String,
+               smallFileBytes: Long = 32L << 20,
+               targetBytes: Long = 128L << 20,
+               targetFileRows: Long = 1L << 20,
+               groupTargetBytes: Long = 256L << 20,
+               retainLast: Int = 5,
+               retentionMs: Option[Long] = Some(24L * 3600 * 1000),
+               orphanGraceMs: Long = 24L * 3600 * 1000): CycleReport = {
+    // Never re-pack files the last clustering placed: compacting clean
+    // slabs would dirty them all and turn the next recluster from
+    // incremental into full — the cycle's compaction is for NEW drop debris.
+    val clusteredClean = Clustering.lastClusterSnapshot(table)
+      .map(s => table.dataFiles(s).map(_.path).toSet).getOrElse(Set.empty)
+    val compacted = Compaction.compact(table, s"$cycleId-compact",
+      smallFileBytes = smallFileBytes, targetBytes = targetBytes,
+      excludePaths = clusteredClean)
+    val clustered = Clustering.cluster(table, s"$cycleId-cluster",
+      targetFileRows = targetFileRows, groupTargetBytes = groupTargetBytes)
+    val expired = Expire.expire(table, retainLast = retainLast,
+      olderThanMs = retentionMs)
+    val orphans = OrphanGc.removeOrphans(table, olderThanMs = orphanGraceMs)
+    CycleReport(compacted, clustered, expired, orphans)
+  }
+}

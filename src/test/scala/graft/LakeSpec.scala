@@ -483,6 +483,39 @@ class LakeSpec extends AnyFunSuite {
     assert(!full2.rebuilt && full2.path == v2.path)
   }
 
+  test("maintenance cycle: compact+cluster+expire+gc in one idempotent call") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("cycle"), TranscriptSynth.schema)
+    t.append(synth(600).repartition(30), "init") // 30 small files
+    val pre = sortedRows(t.scan().df)
+
+    val r1 = Maintenance.runCycle(t, "cycle-1",
+      smallFileBytes = 32L << 20, targetFileRows = 100,
+      groupTargetBytes = 64L << 10, retainLast = 2)
+    assert(r1.compact.filesCompacted > 0)
+    assert(r1.cluster.rowsRewritten > 0, "first cluster is full")
+    assert(sortedRows(t.scan().df) == pre, "cycle must not change content")
+    assert(t.scan(convRange = Some(("c00000100", "c00000109"))).prune.ratio >= 0.9)
+
+    // drop arrives, next cycle: merge elsewhere, then cycle 2 reclusters
+    // only the dirty slab and keeps everything consistent
+    val staged = Seq(("c00000011", "0", "user", "CYCLED", "", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    MergeInto.merge(t, staged, "cycle-drop", targetFileRows = 100)
+    val total = t.currentFiles.map(_.rows).sum
+    val r2 = Maintenance.runCycle(t, "cycle-2", targetFileRows = 100,
+      groupTargetBytes = 64L << 10, retainLast = 2)
+    assert(r2.cluster.rowsRewritten < total, "recluster must be incremental")
+    assert(t.scan().df.where(col("text") === "CYCLED").count() == 1)
+
+    // idempotent re-run of the same cycle id: no new maintenance work
+    val r2b = Maintenance.runCycle(t, "cycle-2", targetFileRows = 100,
+      groupTargetBytes = 64L << 10, retainLast = 2)
+    assert(r2b.cluster.rowsRewritten == 0L)
+    assert(r2b.compact.resumedBins == 0 && r2b.compact.bins == 0)
+    println(s"[cycle] ${r2.summary}")
+  }
+
   test("synth determinism: same seed => identical data") {
     val a = synth(25).collect().toSeq
     val b = synth(25).collect().toSeq
