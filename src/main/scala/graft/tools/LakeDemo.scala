@@ -62,6 +62,15 @@ object LakeDemo {
       .where(col("turn_idx") <= 1).orderBy("turn_idx")
       .select("conv_id", "turn_idx", "text").show(false)
 
+    // a second drop, then ONE maintenance-cycle call (the cron analogue):
+    // compact new debris, incrementally recluster the dirty slab, expire, GC
+    val staged2 = Seq(("c00000042", "0", "user", "second drop", "", 200L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    MergeInto.merge(t, staged2, "drop-b")
+    val cyc = Maintenance.runCycle(t, "cycle-1", targetFileRows = 2000,
+      groupTargetBytes = 64L << 10, retainLast = 3)
+    println(s"[lake] cycle: ${cyc.summary}")
+
     ManifestRewrite.rewrite(t, entriesPerManifest = 5)
     val ex = Expire.expire(t, retainLast = 1)
     println(s"[lake] expired snapshots=${ex.expiredSnapshots.mkString(",")} deletedData=${ex.deletedDataFiles.size} failures=${ex.failures.size}")
