@@ -197,16 +197,48 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // --- near-dup sketches (no ANSI-SQL twin: xxhash64-based) ----------
-    "q15_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashCandidatePairs(
-        t(s, d, "documents").where(col("doc_id") < 2000), "doc_id", "text")
-        .orderBy("id_a", "id_b")),
+    // --- near-dup sketches, checked by ANSI-SQL-expressible INVARIANTS
+    // (the raw xxhash64 fingerprints are not reproducible in DuckDB; the
+    // invariants below are — same construction as q16b) ------------------
 
-    "q16_simhash" -> ((s, d) =>
-      Dedup.simhashDf(
-        t(s, d, "documents").where(col("doc_id") < 2000), "doc_id", "text")
-        .orderBy("doc_id")),
+    // MinHash-LSH recall invariant: in a corpus where every doc has an
+    // id-shifted exact copy, EVERY exact-duplicate pair must appear among
+    // the LSH candidates (identical text -> identical signature -> shares
+    // all bands). The semi-join of the SQL text self-join against the
+    // candidates therefore equals the self-join itself; one missed pair
+    // breaks the row hash.
+    "q15_minhash_lsh" -> ((s, d) => {
+      val base = t(s, d, "documents").where(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val cands = Dedup.minhashCandidatePairs(corpus, "doc_id", "text", maxBucket = 5000)
+      val exact = corpus.as("x").join(corpus.as("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      exact.join(cands, Seq("id_a", "id_b"), "left_semi")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash invariants: (1) the corpus-scale aggregate shape (simhashDf)
+    // agrees with the per-row Column shape (simhash64) on every doc — two
+    // independent implementations cross-check; (2) exact duplicates get
+    // identical fingerprints. Both reduce to constants ANSI SQL can state.
+    "q16_simhash" -> ((s, d) => {
+      val base = t(s, d, "documents").where(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val agg = Dedup.simhashDf(corpus, "doc_id", "text")
+      val colShape = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp64"))
+      val orig = agg.join(colShape, "doc_id").where(col("doc_id") < 10000)
+        .select(col("doc_id"), col("simhash"), col("fp64"))
+      val copy = agg.where(col("doc_id") >= 10000)
+        .select((col("doc_id") - 10000).as("doc_id"), col("simhash").as("fp_copy"))
+      orig.join(copy, "doc_id")
+        .select(col("doc_id"),
+          (col("simhash") === col("fp64")).cast("int").as("impls_agree"),
+          (col("simhash") === col("fp_copy")).cast("int").as("dup_agree"))
+        .orderBy("doc_id")
+    }),
 
     // SimHash banded-Hamming candidate join, checked by a RECALL INVARIANT
     // that ANSI SQL can express: a corpus with known exact duplicates
@@ -242,11 +274,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    "q18b_ann_lsh" -> ((s, d) =>
-      VectorOps.lshBucketTopK(
-        t(s, d, "embeddings").where(col("vec_id") < 2000), "vec_id", "embedding", 5)
-        .select(col("query_id"), col("rank"), col("cand_id"))
-        .orderBy("query_id", "rank")),
+    // ANN-LSH invariant: plant an id-shifted exact copy of every vector;
+    // a query's copy lands in the same LSH bucket (identical sign pattern)
+    // with cosine exactly at the maximum, so it MUST rank #1 — checkable in
+    // plain SQL without reproducing the hyperplanes.
+    "q18b_ann_lsh" -> ((s, d) => {
+      val base = t(s, d, "embeddings").where(col("vec_id") < 2000)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.union(
+        base.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      VectorOps.lshBucketTopK(corpus, "vec_id", "embedding", 5)
+        .where(col("query_id") < 50 && col("rank") === 1)
+        .select(col("query_id"), col("cand_id").as("top_cand"))
+        .orderBy("query_id")
+    }),
 
     // --- the lakehouse maintenance engine (fixture: load -> compact ->
     // cluster -> MERGE error-corrections -> cluster; see LakeFixtures) ---
@@ -470,6 +511,28 @@ object SparkEntry {
         |  CAST(sa.n + sb.n - i AS BIGINT) AS uni
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE i >= 15 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recall invariant: candidates ⊇ exact-dup pairs, so the semi-join
+    // equals the plain text self-join
+    "q15_minhash_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 2000)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |FROM corpus x JOIN corpus y ON x.text = y.text AND x.doc_id < y.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the invariants hold identically (=1) for every doc: implementation
+    // cross-agreement and exact-duplicate fingerprint equality
+    "q16_simhash" ->
+      """SELECT doc_id, 1 AS impls_agree, 1 AS dup_agree
+        |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin,
+
+    // the planted exact copy must rank #1 for every query
+    "q18b_ann_lsh" ->
+      """SELECT vec_id AS query_id, vec_id + 10000 AS top_cand
+        |FROM embeddings WHERE vec_id < 50 ORDER BY query_id""".stripMargin,
 
     "q16b_simhash_pairs" ->
       """WITH corpus AS (

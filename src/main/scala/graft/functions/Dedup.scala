@@ -76,15 +76,41 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast(LongType)
 
+  /** Drop rows whose `keys` combination is shared by more than `maxBucket`
+    * rows — the SKEW-SAFE heavy-key cap shared by every candidate-join
+    * operator here. Counts come from `groupBy(keys).count()` (map-side
+    * partial aggregation: a stopword's billion postings reduce inside each
+    * task before one (key,count) row shuffles), and the heavy-key set —
+    * tiny by construction, at most |rows|/maxBucket keys — broadcasts into
+    * a `left_anti` join. Contrast a `count().over(Window.partitionBy(key))`:
+    * that shuffles EVERY posting of the hot key to a single task before the
+    * filter can drop it, which is exactly the stall/OOM the cap exists to
+    * prevent.
+    */
+  private def dropHeavyKeys(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val heavy = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket)
+      .select(keys.map(col): _*)
+    df.join(broadcast(heavy), keys, "left_anti")
+  }
+
   /** SimHash near-duplicate CANDIDATE pairs via banded Hamming join: the
     * 64-bit fingerprint splits into `bands` chunks (4 x 16 bits by default);
     * by pigeonhole, two fingerprints within Hamming distance `bands - 1`
     * (default <=3) MUST agree on at least one whole chunk, so joining on
-    * (band index, chunk value) guarantees recall for Hamming <= bands-1 —
-    * and in particular 100% recall for exact duplicates (distance 0). The
-    * join is bucket-local, not all-pairs; `maxBucket` drops degenerate
-    * buckets (e.g. the all-zeros chunk of empty docs) so one hot bucket
-    * cannot go quadratic — same hygiene as [[minhashCandidatePairs]].
+    * (band index, chunk value) finds them — and exact duplicates (distance
+    * 0) are found UNCONDITIONALLY, because banding runs over DISTINCT
+    * fingerprints: all docs sharing a fingerprint collapse to one banded row
+    * and their pairs are emitted by the within-group expansion, which no cap
+    * touches. A duplicate-heavy corpus (the classic failure: a million empty
+    * docs all fingerprinting to 0) therefore inflates no bucket at all.
+    *
+    * `maxBucket` caps the number of DISTINCT fingerprints per (band, chunk)
+    * bucket — skew-safe via [[dropHeavyKeys]] (groupBy-count + broadcast
+    * anti-join, never a Window over the hot key). A capped bucket weakens
+    * recall only for NON-identical fingerprints that agree on no other
+    * chunk; the pigeonhole guarantee for Hamming <= bands-1 is otherwise
+    * intact.
     *
     * Returns (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming.
     */
@@ -97,24 +123,38 @@ object Dedup {
     val chunkBits = 64 / bands
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val fp = simhashDf(df, idCol, textCol)
-    val banded = fp.select(col(idCol).as("id"), col("simhash"),
+      .select(col(idCol).as("id"), col("simhash"))
+
+    // One row per DISTINCT fingerprint; members expand at the end.
+    val groups = fp.select("simhash").distinct()
+    val banded = groups.select(col("simhash"),
       posexplode(array((0 until bands).map { b =>
         shiftright(col("simhash"), b * chunkBits).bitwiseAND(mask)
       }: _*)).as(Seq("band_idx", "chunk")))
-    val capped = banded
-      .withColumn("__bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "chunk")))
-      .where(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
-    capped.as("a").join(capped.as("b"),
+    val capped = dropHeavyKeys(banded, Seq("band_idx", "chunk"), maxBucket)
+
+    // Candidate DISTINCT-fingerprint pairs (ordered to emit each once),
+    // Hamming-filtered BEFORE the member expansion.
+    val fpPairs = capped.as("a").join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.chunk") === col("b.chunk") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct() // pairs sharing several bands appear once
-      .where(col("hamming") <= maxHamming)
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct() // fp pairs sharing several bands appear once
+      .where(hamming64(col("fp_a"), col("fp_b")) <= maxHamming)
+
+    // Expansion back to doc pairs: cross-group (different fingerprints)...
+    val cross = fpPairs
+      .join(fp.select(col("id").as("ia"), col("simhash").as("fp_a")), Seq("fp_a"))
+      .join(fp.select(col("id").as("ib"), col("simhash").as("fp_b")), Seq("fp_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+    // ...plus within-group (identical fingerprint, Hamming 0) pairs.
+    val within = fp.as("x").join(fp.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Aggregate-shaped SimHash over a whole frame: explode tokens, vote per
@@ -154,11 +194,9 @@ object Dedup {
       minIntersection: Int = 1, maxDF: Int = 1000): DataFrame = {
     val words = df.select(col(idCol).as("doc_id"),
       explode(TextMetrics.tokens(col(textCol))).as("w")).distinct()
-    val kept = words
-      .withColumn("__df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("w")))
-      .where(col("__df") <= maxDF)
-      .drop("__df")
+    // document frequency via groupBy (map-side partial agg) + broadcast
+    // anti-join — a stopword's postings never collect on one task
+    val kept = dropHeavyKeys(words, Seq("w"), maxDF)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
@@ -182,11 +220,19 @@ object Dedup {
     * per-id mins via groupBy — partial (map-side) aggregation makes the
     * shuffle carry only numHashes longs per document.
     *
-    * Degenerate LSH buckets (a band hash shared by huge swaths of the
-    * corpus — stopword-only shingle sets and the like) are dropped via
-    * `maxBucket`, standard LSH hygiene that bounds the pair blow-up.
+    * Banding runs over DISTINCT signatures (exact duplicates — identical
+    * shingle sets, hence identical signatures — collapse to one banded row
+    * and expand via the within-group join at the end), so exact-duplicate
+    * recall is UNCONDITIONAL: no cap can drop it, no duplicate-heavy corpus
+    * can inflate a bucket. `maxBucket` caps DISTINCT signatures per
+    * (band, hash) bucket — skew-safe via [[dropHeavyKeys]] (groupBy-count +
+    * broadcast anti-join; never a Window shuffling the hot bucket's postings
+    * to one task). Capped buckets weaken recall only for non-identical
+    * signatures sharing no other band — standard LSH hygiene that bounds
+    * the pair blow-up.
     *
-    * Returns (id_a, id_b, n_shared_bands), idA < idB.
+    * Returns (id_a, id_b, n_shared_bands), idA < idB; exact duplicates
+    * report n_shared_bands = bands.
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -199,20 +245,35 @@ object Dedup {
     val mins = shingled.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
     val sig = mins.select(col("id"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-    val exploded = sig.select(col("id"),
+
+    // one banded row per DISTINCT signature
+    val exploded = sig.select(col("sig")).distinct().select(col("sig"),
       posexplode(lshBandHashes(col("sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
-    val bucketed = exploded
-      .withColumn("__bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_hash")))
-      .where(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
-    bucketed.as("a").join(bucketed.as("b"),
+    val capped = dropHeavyKeys(exploded, Seq("band_idx", "band_hash"), maxBucket)
+
+    // distinct-signature candidate pairs with their shared-band count
+    // (arrays are orderable/joinable in Spark; '<' orders pairs once)
+    val sigPairs = capped.as("a").join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        col("a.sig") < col("b.sig"))
+      .groupBy(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+
+    // expand back to doc pairs: cross-group plus within-group (exact dups,
+    // which by construction share every band); the member joins are plain
+    // equi-joins — a hot signature (many exact copies) is AQE-skew-splittable
+    // and its quadratic within-group pairs are genuine output, not overhead
+    val cross = sigPairs
+      .join(sig.select(col("id").as("ia"), col("sig").as("sig_a")), Seq("sig_a"))
+      .join(sig.select(col("id").as("ib"), col("sig").as("sig_b")), Seq("sig_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("n_shared_bands"))
+    val within = sig.as("x").join(sig.as("y"),
+        col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(bands.toLong).as("n_shared_bands"))
+    cross.unionByName(within)
   }
 }

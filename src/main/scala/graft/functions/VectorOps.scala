@@ -63,20 +63,27 @@ object VectorOps {
     * Recall < 1.0 by construction; scale path for ANN over 100 TB — the
     * cartesian becomes bucket-local (expected bucket size n / 2^planes).
     * A DEGENERATE bucket (e.g. the all-zeros sign pattern collecting a
-    * constant-sign slice of the corpus) would go quadratic: `maxBucket`
-    * keeps only the first `maxBucket` members per bucket (deterministic by
-    * id), bounding any bucket's join to maxBucket^2 — same hygiene as
-    * [[Dedup.minhashCandidatePairs]].
+    * constant-sign slice of the corpus) would go quadratic: buckets over
+    * `maxBucket` members are DOWN-SAMPLED to ~maxBucket deterministically
+    * (keep iff xxhash64(id) = 0 mod ceil(n/maxBucket)), bounding any
+    * bucket's join to ~maxBucket^2. SKEW-SAFE by construction: bucket sizes
+    * come from groupBy (map-side partial aggregation) and the heavy-bucket
+    * set — at most |rows|/maxBucket entries — broadcasts; a
+    * row_number-over-Window cap would first collect the degenerate bucket's
+    * every member on one task, the exact stall the cap exists to prevent.
     */
   def lshBucketTopK(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, nPlanes: Int = 8, maxBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
-      .withColumn("__bn",
-        row_number().over(Window.partitionBy("bucket").orderBy("id")))
-      .where(col("__bn") <= maxBucket)
+    val heavy = bucketed.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucket)
+    val withB = bucketed
+      .join(broadcast(heavy), Seq("bucket"), "left_outer")
+      .where(col("__bn").isNull ||
+        pmod(xxhash64(col("id")), ceil(col("__bn").cast("double") / maxBucket).cast("long")) === 0)
       .drop("__bn")
     val a = withB.select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
     val b = withB.select(col("id").as("cand_id"), col("v").as("cv"), col("bucket"))

@@ -60,12 +60,30 @@ class LakeTable(val root: String, val spark: SparkSession) {
 
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshot)
 
-  def allSnapshots: Vector[Snapshot] =
+  /** Every snapshot FILE on disk, including a not-yet-adopted orphan from a
+    * crashed commit (id > pointer). GC and expiry consult this superset so
+    * an orphan's files are never swept out from under a later adoption;
+    * everything user-facing should use [[committedSnapshots]].
+    */
+  def allSnapshots: Vector[Snapshot] = allSnapshotIds.map(snapshot)
+
+  def allSnapshotIds: Vector[Long] =
     LakeTable.listDir(metaDir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
       .map(n => n.stripPrefix("snap-").stripSuffix(".json").toLong)
-      .sorted.map(snapshot)
+      .sorted
+
+  /** Snapshots reachable from the version pointer — ids are assigned
+    * parent+1 and the pointer only advances over published ids, so
+    * "committed" = id <= pointer. An orphan snap file beyond the pointer
+    * (crashed commit awaiting adoption) is NOT committed: time travel and
+    * job-idempotence checks must not see it.
+    */
+  def committedSnapshots: Vector[Snapshot] = {
+    val cur = currentSnapshotId.getOrElse(return Vector.empty)
+    allSnapshotIds.filter(_ <= cur).map(snapshot)
+  }
 
   def manifest(path: String): Manifest =
     MetaJson.manifestFromJson(path, MetaJson.read(
@@ -148,12 +166,14 @@ class LakeTable(val root: String, val spark: SparkSession) {
   def readOrdered(): DataFrame =
     scan().df.orderBy("conv_id", "turn_idx")
 
-  /** Time travel: the newest snapshot committed at or before `tsMs` (the
+  /** Time travel: the newest COMMITTED snapshot at or before `tsMs` (the
     * reference's created_at-ordered metadata listing made queryable).
-    * Pass the result's id as `scan(snapshotId = ...)`.
+    * Pass the result's id as `scan(snapshotId = ...)`. Orphan snap files of
+    * crashed, never-published commits are excluded — a reader must never
+    * time-travel into a version no writer ever exposed.
     */
   def snapshotAsOf(tsMs: Long): Option[Snapshot] =
-    allSnapshots.filter(_.timestampMs <= tsMs).sortBy(_.id).lastOption
+    committedSnapshots.filter(_.timestampMs <= tsMs).sortBy(_.id).lastOption
 
   // ---- writes ------------------------------------------------------------
 
@@ -291,12 +311,32 @@ class LakeTable(val root: String, val spark: SparkSession) {
 
     // CREATE_NEW: concurrent committers race to the same id; exactly one
     // wins, the other surfaces a conflict instead of silently clobbering.
+    //
+    // CRASH-ORPHAN RECOVERY: if snap-<id>.json exists but the POINTER still
+    // sits at our parent, its writer crashed between CREATE_NEW and the
+    // pointer swing (or is microseconds from swinging). Deleting the file
+    // would break the CREATE_NEW CAS; instead we FINISH the interrupted
+    // commit on its behalf — the orphan is fully valid (its data files and
+    // manifests were durable before its snapshot write) — by swinging the
+    // pointer to it, then surface the conflict. The retry then builds on the
+    // adopted snapshot; without this, every retry recomputes id = parent+1,
+    // hits the same orphan, and the table is wedged forever.
     val snapPath = metaDir.resolve(s"snap-$id.json")
     try Files.write(snapPath,
       MetaJson.write(MetaJson.snapshotToJson(snap)).getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
     catch {
       case _: FileAlreadyExistsException =>
+        val pointer = currentSnapshotId
+        if (pointer == parent.map(_.id)) {
+          val tmpA = metaDir.resolve(s"version-hint.adopt-$id")
+          writeString(tmpA, id.toString)
+          Files.move(tmpA, metaDir.resolve("version-hint.txt"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          throw new CommitConflictException(
+            s"snapshot $id was written by an interrupted commit; adopted it as " +
+              s"current (table $root) — re-read the table and retry the operation")
+        }
         throw new CommitConflictException(
           s"snapshot $id already committed by a concurrent writer (table $root); " +
             "re-read the table and retry the operation")

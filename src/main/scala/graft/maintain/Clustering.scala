@@ -64,9 +64,9 @@ object Clustering {
 
     // Idempotence: a snapshot already committed by THIS CLUSTER job wins
     // outright (operation-scoped: a compact job sharing the id must not
-    // masquerade as the cluster result).
-    table.allSnapshots.find(s => s.operation == "cluster" &&
-        s.summary.get("job_id").contains(jobId)).foreach { s =>
+    // masquerade as the cluster result). O(1) ledger marker, not a
+    // full-history walk.
+    Ledger.committedJobSnapshot(table, jobId, "cluster").foreach { s =>
       return Result(s, 0, 0, 0L)
     }
 
@@ -171,6 +171,7 @@ object Clustering {
       summary = Map("job_id" -> jobId,
         "groups" -> groups.size.toString,
         "rows_rewritten" -> rewritten.toString))
+    Ledger.markCommitted(table, jobId, "cluster", snap.id)
     logInfoTime("cluster commit", tCommit)
     Result(snap, groups.size, resumed, rewritten)
   }

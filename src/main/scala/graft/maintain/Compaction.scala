@@ -30,9 +30,9 @@ object Compaction {
     val spark = table.spark
 
     // operation-scoped idempotence: only a COMPACT snapshot with this job
-    // id short-circuits (see the matching guard in Clustering)
-    table.allSnapshots.find(s => s.operation == "compact" &&
-        s.summary.get("job_id").contains(jobId)).foreach { s =>
+    // id short-circuits (see the matching guard in Clustering). O(1) ledger
+    // marker, not a full-history walk.
+    Ledger.committedJobSnapshot(table, jobId, "compact").foreach { s =>
       return Result(Some(s), 0, 0, 0)
     }
 
@@ -100,6 +100,7 @@ object Compaction {
       summary = Map("job_id" -> jobId,
         "bins" -> plannedBins.size.toString,
         "files_compacted" -> inputSet.size.toString))
+    Ledger.markCommitted(table, jobId, "compact", snap.id)
     Result(Some(snap), plannedBins.size, resumed, inputSet.size)
   }
 

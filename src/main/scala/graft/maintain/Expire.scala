@@ -45,18 +45,26 @@ object Expire {
     if (expired.isEmpty)
       return Result(Vector.empty, Vector.empty, Vector.empty, Vector.empty)
 
+    val failures = Vector.newBuilder[String]
+
     // Manifests are shared across snapshots (commitDelta carry-forward):
     // each manifest is parsed at most ONCE — retained ones for the keep
     // set, expired-ONLY ones for drop candidates (files in a shared
     // manifest are kept wholesale, no need to open it twice).
+    //
+    // READ isolation, not just delete isolation: a PRIOR expire may have
+    // deleted a manifest but failed on its snap-*.json (tolerated below) —
+    // the still-listed snapshot then references a missing manifest. Treat
+    // ONLY NoSuchFile as "already gone, nothing to keep/drop through it"
+    // (and re-attempt the dangling snap delete); any other read error still
+    // aborts — an IO hiccup must not silently shrink the keep set and let
+    // live data be swept.
     val keepManifests = retained.flatMap(_.manifestPaths).toSet
-    val keepData = table.dataPathsOf(keepManifests.toSeq).toSet
+    val keepData = tolerantDataPaths(table, keepManifests.toSeq, failures).toSet
     val dropManifests = expired.flatMap(_.manifestPaths)
       .distinct.filterNot(keepManifests)
-    val dropData = table.dataPathsOf(dropManifests)
+    val dropData = tolerantDataPaths(table, dropManifests, failures)
       .distinct.filterNot(keepData)
-
-    val failures = Vector.newBuilder[String]
     val deletedData = Vector.newBuilder[String]
     val deletedMeta = Vector.newBuilder[String]
 
@@ -79,45 +87,101 @@ object Expire {
 
     Result(expired.map(_.id), deletedData.result(), deletedMeta.result(), failures.result())
   }
+
+  /** [[LakeTable.dataPathsOf]] with per-manifest NoSuchFile tolerance (each
+    * manifest still parsed once); other exceptions propagate — see the
+    * caller's rationale.
+    */
+  private[maintain] def tolerantDataPaths(
+      table: LakeTable, manifestPaths: Seq[String],
+      failures: scala.collection.mutable.Builder[String, Vector[String]]): Vector[String] =
+    manifestPaths.distinct.toVector.flatMap { p =>
+      try table.manifest(p).entries.map(_.path)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          failures += s"$p: missing (skipped): ${e.getMessage}"
+          Vector.empty
+      }
+    }
 }
 
-/** Orphan-file GC: data files on disk referenced by NO snapshot — the
-  * residue of write attempts that crashed before their commit (data-file
-  * names are unique per attempt precisely so a retry cannot overwrite, which
-  * means the failed attempt's files linger). Mirrors Iceberg's
-  * remove_orphan_files: only files older than `olderThanMs` are candidates,
-  * so an in-flight writer's staged-but-uncommitted output is never swept.
+/** Orphan-file GC: data AND metadata files on disk referenced by NO
+  * snapshot — the residue of write attempts that crashed before their
+  * commit (data-file and manifest names are unique per attempt precisely so
+  * a retry cannot overwrite, which means the failed attempt's files
+  * linger). Mirrors Iceberg's remove_orphan_files: only files older than
+  * `olderThanMs` are candidates, so an in-flight writer's
+  * staged-but-uncommitted output is never swept.
+  *
+  * Sweep ORDER matters: metadata first. An orphan snap-*.json beyond the
+  * version pointer (a crashed commit that was never adopted — see
+  * [[graft.lake.LakeTable]]'s crash-orphan recovery) is deleted once past
+  * the grace age; only THEN do its manifests and data files become
+  * unreferenced and sweepable. The grace age is the no-adoption-race
+  * guarantee: adoption happens on the very next commit attempt, so an
+  * orphan still unadopted after the grace period has no writer coming back
+  * for it.
   */
 object OrphanGc {
 
-  final case class Result(deleted: Vector[String], failures: Vector[String])
+  final case class Result(deleted: Vector[String], failures: Vector[String],
+                          deletedMeta: Vector[String] = Vector.empty)
 
   def removeOrphans(table: LakeTable,
                     olderThanMs: Long,
                     nowMs: Long = System.currentTimeMillis()): Result = {
-    // Referenced = every snapshot's data files PLUS every ledger-checkpointed
-    // task output: an interrupted job's finished groups live only in the
-    // ledger until the final commit — sweeping them would make the resumed
-    // job publish a snapshot over deleted files. (Manifests are SHARED
-    // across snapshots; dataPathsOf parses each one once.)
+    val deleted = Vector.newBuilder[String]
+    val deletedMeta = Vector.newBuilder[String]
+    val failures = Vector.newBuilder[String]
+    val metaDir = Paths.get(table.root, "metadata")
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < nowMs - olderThanMs
+
+    // ---- metadata sweep --------------------------------------------------
+    // 1. orphan snapshots: snap files beyond the pointer, past grace
+    val pointer = table.currentSnapshotId.getOrElse(-1L)
+    table.allSnapshotIds.filter(_ > pointer).foreach { id =>
+      val p = metaDir.resolve(s"snap-$id.json")
+      try if (Files.exists(p) && oldEnough(p)) {
+        Files.deleteIfExists(p); deletedMeta += s"snap-$id.json"
+      } catch { case e: Exception => failures += s"snap-$id.json: ${e.getMessage}" }
+    }
+    // 2. manifests referenced by NO remaining snapshot, past grace
+    val liveManifests = table.allSnapshots.flatMap(_.manifestPaths).toSet
+    if (Files.exists(metaDir)) LakeTable.listDir(metaDir).foreach { p =>
+      val n = p.getFileName.toString
+      val sweepable = n.startsWith("manifest-") && n.endsWith(".json") ||
+        n.startsWith("version-hint.tmp-") || n.startsWith("version-hint.adopt-")
+      if (sweepable && !liveManifests(n)) {
+        try if (oldEnough(p)) { Files.deleteIfExists(p); deletedMeta += n }
+        catch { case e: Exception => failures += s"$n: ${e.getMessage}" }
+      }
+    }
+
+    // ---- data sweep ------------------------------------------------------
+    // Referenced = every REMAINING snapshot's data files PLUS every
+    // ledger-checkpointed task output: an interrupted job's finished groups
+    // live only in the ledger until the final commit — sweeping them would
+    // make the resumed job publish a snapshot over deleted files.
+    // (Manifests are SHARED across snapshots; each parses once. A manifest
+    // a prior half-failed expire already removed reads as empty — only
+    // NoSuchFile is tolerated, an IO error must not shrink the set.)
     val referenced =
-      table.dataPathsOf(table.allSnapshots.flatMap(_.manifestPaths)).toSet ++
+      Expire.tolerantDataPaths(table,
+        table.allSnapshots.flatMap(_.manifestPaths), failures).toSet ++
         Ledger.allTaskRows(table).flatMap(_.outFiles.map(_.path))
     val dataDir = Paths.get(table.root, "data")
-    val deleted = Vector.newBuilder[String]
-    val failures = Vector.newBuilder[String]
     if (Files.exists(dataDir)) {
       val stream = Files.list(dataDir)
       try stream.iterator().asScala.foreach { p =>
         val rel = s"data/${p.getFileName}"
-        val oldEnough = Files.getLastModifiedTime(p).toMillis < nowMs - olderThanMs
-        if (!referenced(rel) && oldEnough) {
+        if (!referenced(rel) && oldEnough(p)) {
           try { Files.deleteIfExists(p); deleted += rel }
           catch { case e: Exception => failures += s"$rel: ${e.getMessage}" }
         }
       } finally stream.close()
     }
-    Result(deleted.result(), failures.result())
+    Result(deleted.result(), failures.result(), deletedMeta.result())
   }
 }
 

@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.lake.{DataFile, LakeTable, MetaJson}
+import graft.lake.{DataFile, LakeTable, MetaJson, Snapshot}
 
 import scala.jdk.CollectionConverters._
 
@@ -74,6 +74,59 @@ object Ledger {
         longs("conv_cuts"), longs("turn_cuts"),
         Option(n.get("curve")).map(_.asText).getOrElse("z"),
         Option(n.get("kind")).map(_.asText).getOrElse("")))
+    }
+  }
+
+  // ---- job commit marker (O(1) idempotence) ------------------------------
+
+  /** Record that `jobId`'s final snapshot committed — ONE file the
+    * idempotence guard reads, instead of parsing the whole snapshot history
+    * per maintenance call (the `last_cluster_id` pattern applied to job ids).
+    */
+  def markCommitted(table: LakeTable, jobId: String, operation: String,
+                    snapshotId: Long): Unit = {
+    val o = MetaJson.mapper.createObjectNode()
+    o.put("job_id", jobId); o.put("operation", operation)
+    o.put("snapshot_id", snapshotId)
+    atomicWrite(table, jobId, "commit.json", MetaJson.write(o))
+  }
+
+  /** The snapshot `jobId` (of this operation) already committed, if any.
+    * O(1) via the marker; a crash BETWEEN commitDelta and the marker write
+    * falls back to walking the parent chain from current down to the job
+    * plan's base snapshot — O(commits since the job started), never
+    * O(history) — and heals the marker. Only COMMITTED snapshots count: an
+    * orphan snap file from a crashed commit (id beyond the pointer) is
+    * unreachable from current, so it can never masquerade as the job result.
+    */
+  def committedJobSnapshot(table: LakeTable, jobId: String,
+                           operation: String): Option[Snapshot] = {
+    val marker = jobDir(table, jobId).resolve("commit.json")
+    if (Files.exists(marker)) {
+      val n = MetaJson.read(Files.readString(marker))
+      if (n.get("operation").asText != operation) return None
+      val sid = n.get("snapshot_id").asLong
+      return try Some(table.snapshot(sid))
+      catch { // snapshot metadata already expired: the job is still DONE —
+        // surface the current snapshot as the idempotent no-op result
+        case _: Exception => table.currentSnapshot
+      }
+    }
+    readPlan(table, jobId) match {
+      case None => None
+      case Some(p) =>
+        var cur = table.currentSnapshot
+        while (cur.exists(_.id > p.baseSnapshotId)) {
+          val s = cur.get
+          if (s.operation == operation && s.summary.get("job_id").contains(jobId)) {
+            markCommitted(table, jobId, operation, s.id)
+            return Some(s)
+          }
+          cur =
+            if (s.parentId < 0) None
+            else try Some(table.snapshot(s.parentId)) catch { case _: Exception => None }
+        }
+        None
     }
   }
 

@@ -19,9 +19,12 @@ import graft.lake.LakeTable.FileEntry
   *   1. the staged pipeline (align -> validate -> in-batch dedup) is
   *      persisted and evaluated ONCE — counts, the key-range agg and the
   *      join all read the cached frame, not re-run the groupBy;
-  *   2. staged key range (one agg) -> manifest pre-filter: only target
-  *      files whose (conv_id) stats overlap the staged range are rewritten —
-  *      a merge touching 0.1% of conversations rewrites 0.1% of the table;
+  *   2. staged key range (one agg) -> TWO-LEVEL metadata pre-filter: only
+  *      manifests whose persisted conv range overlaps the staged range are
+  *      even OPENED (the rest carry forward unparsed), and within them only
+  *      files whose stats overlap are rewritten — a merge touching 0.1% of
+  *      conversations parses 0.1% of the manifests and rewrites 0.1% of the
+  *      table;
   *   3. full-outer sort-merge join on the key (full outer cannot
   *      broadcast; both sides shuffle once on the key);
   *   4. per-column coalesce(nullif(staged, ''), target);
@@ -31,7 +34,8 @@ import graft.lake.LakeTable.FileEntry
 object MergeInto {
 
   final case class Result(snapshot: Snapshot, touchedFiles: Int, carriedFiles: Int,
-                          stagedRows: Long, rejectedRows: Long)
+                          stagedRows: Long, rejectedRows: Long,
+                          openedManifests: Int = 0, totalManifests: Int = 0)
 
   /** `staged`: an all-string (or already-typed) drop frame; columns are
     * aligned by trimmed name, schema evolves append-only. If `staged` has a
@@ -75,12 +79,26 @@ object MergeInto {
     val (lo, hi) = (Option(aggRow.getString(1)), Option(aggRow.getString(2)))
     val rejectedRows = rejected.count()
 
-    val entries = table.currentEntries
+    // Two-level pre-filter, same rule as LakeTable.scan: manifests whose
+    // PERSISTED aggregate conv range misses the staged range are never
+    // OPENED — a 0.1%-range merge on a 10^6-file table parses the one
+    // overlapping manifest JSON, not all thousand. Within overlapping
+    // manifests, per-file stats select the rewrite set.
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot to merge into at ${table.root}"))
+    val refs = snap.manifests
+    val overlappingRefs = (lo, hi) match {
+      case (Some(l), Some(h)) => refs.filter(_.overlapsConv(l, h))
+      case _ => Vector.empty[graft.lake.ManifestRef]
+    }
     val touched = (lo, hi) match {
-      case (Some(l), Some(h)) => entries.filter(_.file.overlapsConv(l, h))
+      case (Some(l), Some(h)) => overlappingRefs.flatMap(r =>
+        table.manifest(r.path).entries.withFilter(_.overlapsConv(l, h))
+          .map(FileEntry(r.path, _)))
       case _ => Vector.empty[FileEntry]
     }
-    val carried = entries.size - touched.size
+    val totalFiles = refs.map(_.entryCount).sum
+    val carried = (totalFiles - touched.size).toInt
 
     val st = evolvedSchema.toStruct
     val target =
@@ -124,11 +142,12 @@ object MergeInto {
     val newEntries = table.writeDataFiles(out, tag)
     aligned.unpersist()
     dedup.unpersist()
-    val snap = table.commitDelta(newEntries, touched, "merge", Some(evolvedSchema),
+    val snap2 = table.commitDelta(newEntries, touched, "merge", Some(evolvedSchema),
       Map("merge_tag" -> tag,
         "staged_rows" -> stagedRows.toString,
         "rejected_rows" -> rejectedRows.toString,
         "touched_files" -> touched.size.toString))
-    Result(snap, touched.size, carried, stagedRows, rejectedRows)
+    Result(snap2, touched.size, carried, stagedRows, rejectedRows,
+      openedManifests = overlappingRefs.size, totalManifests = refs.size)
   }
 }

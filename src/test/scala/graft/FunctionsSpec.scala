@@ -196,15 +196,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!keys.contains((1L, 4L)) && !keys.contains((2L, 4L)))
   }
 
-  test("simhash banded candidates: maxBucket caps degenerate buckets") {
+  test("simhash banded candidates: exact-dup recall survives ANY bucket cap") {
     import spark.implicits._
-    // 10 identical docs share every band bucket -> bucket size 10
+    // 10 identical docs = ONE distinct fingerprint: banding sees a single
+    // row, so even maxBucket=1 cannot drop their pairs (the round-2 failure
+    // mode was losing exact duplicates to the cap on dup-heavy corpora)
     val docs = (1L to 10L).map(i => (i, "same text every single time for all"))
       .toDF("doc_id", "text")
     val uncapped = Dedup.simhashCandidatePairs(docs, "doc_id", "text").count()
     assert(uncapped == 45) // all 10*9/2 pairs
-    val capped = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxBucket = 5).count()
-    assert(capped == 0, "over-cap buckets must be dropped, not joined quadratically")
+    val capped = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxBucket = 1).count()
+    assert(capped == 45, "identical fingerprints collapse before banding; " +
+      "the cap only limits DISTINCT fingerprints per bucket")
+  }
+
+  test("candidate-pair caps are skew-safe: no Window over the hot key") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"alpha beta gamma token$i")).toDF("doc_id", "text")
+    val vecs = (1L to 8L).map(i => (i, Seq(1f, i.toFloat, 3f))).toDF("id", "v")
+    def windows(df: org.apache.spark.sql.DataFrame): Int =
+      "(?m)^\\s*[+:*-]*\\s*Window ".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(windows(Dedup.simhashCandidatePairs(docs, "doc_id", "text")) == 0)
+    assert(windows(Dedup.minhashCandidatePairs(docs, "doc_id", "text")) == 0)
+    assert(windows(Dedup.jaccardCandidatePairs(docs, "doc_id", "text")) == 0)
+    // lshBucketTopK keeps exactly ONE window: the per-QUERY top-k rank
+    // (partitioned by query_id, bounded by bucket size) — none on buckets
+    val topk = VectorOps.lshBucketTopK(vecs, "id", "v", 2, maxBucket = 3)
+    assert(windows(topk) == 1)
   }
 
   test("jaccard candidates: document-frequency cap keeps stopwords out of the join") {
@@ -256,9 +275,17 @@ class VectorOpsSpec extends AnyFunSuite {
     val vecs = (1L to 50L).map(i => (i, Seq(1f, 2f, 3f, 4f))).toDF("id", "v")
     val uncapped = VectorOps.lshBucketTopK(vecs, "id", "v", 2)
     assert(uncapped.count() == 100) // 50 queries x k=2
+    // heavy bucket down-sampled to ~maxBucket members deterministically
+    // (keep iff xxhash64(id) = 0 mod ceil(50/5)=10)
     val capped = VectorOps.lshBucketTopK(vecs, "id", "v", 2, maxBucket = 5)
-    val rows = capped.select("query_id").as[Long].collect()
-    assert(rows.length == 10, "cap=5 keeps 5 members -> 5 queries x k=2")
-    assert(rows.forall(_ <= 5), "kept members are deterministic by id")
+    val q1 = capped.select("query_id").as[Long].collect().sorted.toSeq
+    val kept = q1.distinct
+    assert(kept.nonEmpty && kept.length < 50,
+      s"cap must shrink the degenerate bucket; kept ${kept.length}")
+    assert(q1.length == kept.length * math.min(2, kept.length - 1),
+      "every kept member still gets its top-k within the sampled bucket")
+    val q2 = VectorOps.lshBucketTopK(vecs, "id", "v", 2, maxBucket = 5)
+      .select("query_id").as[Long].collect().sorted.toSeq
+    assert(q1 == q2, "down-sampling is deterministic")
   }
 }

@@ -302,6 +302,25 @@ class LakeSpec extends AnyFunSuite {
     assert(sm("new_manifests").toInt == fresh.size)
   }
 
+  test("merge opens only manifests whose persisted range overlaps the staged batch") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("merge-manifest-prune"), TranscriptSynth.schema)
+    t.append(synth(200).repartitionByRange(20, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    ManifestRewrite.rewrite(t, entriesPerManifest = 2) // 20 files -> 10 manifests
+    val staged = Seq(("c00000050", "0", "user", "UPDATED-BY-MERGE", "", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    val r = MergeInto.merge(t, staged, "one-conv-drop")
+    assert(r.totalManifests >= 10)
+    assert(r.openedManifests <= 2,
+      s"a 1-conv merge must OPEN <=2 of ${r.totalManifests} manifests " +
+        s"(the rest carry forward unparsed), opened ${r.openedManifests}")
+    // and the merged row actually landed
+    val got = t.scan(convRange = Some(("c00000050", "c00000050"))).df
+      .where(col("turn_idx") === 0).select("text").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("UPDATED-BY-MERGE"))
+  }
+
   test("scan opens only manifests whose persisted range overlaps the predicate") {
     val t = LakeTable.create(spark, tmpTable("manifest-prune"), TranscriptSynth.schema)
     t.append(synth(200).repartitionByRange(20, col("conv_id"), col("turn_idx"))
@@ -329,6 +348,102 @@ class LakeSpec extends AnyFunSuite {
     intercept[LakeTable.CommitConflictException] {
       t.commitDelta(Vector.empty, planned, "stale-compact")
     }
+  }
+
+  test("crash-orphan commit: adopted by the next writer instead of wedging the table") {
+    val t = LakeTable.create(spark, tmpTable("orphan-adopt"), TranscriptSynth.schema)
+    t.append(synth(10), "first")
+    t.append(synth(10).withColumn("conv_id", concat(lit("x"), col("conv_id"))), "second")
+    val committed = t.currentSnapshotId.get
+    val rows2 = t.scan().df.count()
+    // simulate a commit that crashed between snap-json CREATE_NEW and the
+    // pointer swing: roll the pointer back to the parent
+    val hint = java.nio.file.Paths.get(t.root, "metadata", "version-hint.txt")
+    java.nio.file.Files.writeString(hint, (committed - 1).toString)
+
+    // the orphan must be invisible until adopted
+    assert(t.currentSnapshotId.contains(committed - 1))
+    assert(t.snapshotAsOf(Long.MaxValue).get.id == committed - 1,
+      "time travel must not see a never-published snapshot")
+
+    // next commit hits the orphan, ADOPTS it (pointer moves), and reports a
+    // retryable conflict — the round-2 behavior wedged every retry forever
+    val extra = synth(10).withColumn("conv_id", concat(lit("y"), col("conv_id")))
+    val e = intercept[LakeTable.CommitConflictException] { t.append(extra, "third") }
+    assert(e.getMessage.contains("adopted"))
+    assert(t.currentSnapshotId.contains(committed), "pointer must now be at the orphan")
+
+    // and the retry succeeds on top of the adopted snapshot
+    val snap = t.append(extra, "third-retry")
+    assert(snap.id == committed + 1)
+    assert(t.scan().df.count() == rows2 + extra.count())
+  }
+
+  test("job idempotence: O(1) ledger marker, chain-walk fallback heals it") {
+    val t = LakeTable.create(spark, tmpTable("idem-marker"), TranscriptSynth.schema)
+    t.append(synth(60).repartition(6), "init")
+    val r1 = Clustering.cluster(t, "job-A")
+    assert(r1.groups > 0)
+    val marker = t.ledgerDir.resolve("job-A/commit.json")
+    assert(java.nio.file.Files.exists(marker), "commit marker written after the snapshot")
+
+    // rerun short-circuits via the marker (no work, same snapshot)
+    val r2 = Clustering.cluster(t, "job-A")
+    assert(r2.groups == 0 && r2.snapshot.id == r1.snapshot.id)
+
+    // crash between commitDelta and marker write: the parent-chain walk
+    // (bounded by the plan's base snapshot) finds the commit and re-marks
+    java.nio.file.Files.delete(marker)
+    val r3 = Clustering.cluster(t, "job-A")
+    assert(r3.groups == 0 && r3.snapshot.id == r1.snapshot.id)
+    assert(java.nio.file.Files.exists(marker), "fallback must heal the marker")
+  }
+
+  test("orphan GC sweeps unreferenced metadata (crashed-commit residue)") {
+    val t = LakeTable.create(spark, tmpTable("orphan-meta-gc"), TranscriptSynth.schema)
+    t.append(synth(10), "first")
+    val keepFiles = t.currentFiles.map(_.path).toSet
+    t.append(synth(10).withColumn("conv_id", concat(lit("x"), col("conv_id"))), "second")
+    val orphanId = t.currentSnapshotId.get
+    val orphanOnlyFiles = t.currentFiles.map(_.path).toSet -- keepFiles
+    // roll the pointer back: snapshot `orphanId` becomes crashed-commit residue
+    val hint = java.nio.file.Paths.get(t.root, "metadata", "version-hint.txt")
+    java.nio.file.Files.writeString(hint, (orphanId - 1).toString)
+    // plus a stray half-written pointer temp
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.root, "metadata", "version-hint.tmp-99"), "99")
+
+    val res = OrphanGc.removeOrphans(t, olderThanMs = 0,
+      nowMs = System.currentTimeMillis() + 60000)
+    assert(res.deletedMeta.contains(s"snap-$orphanId.json"))
+    assert(res.deletedMeta.contains("version-hint.tmp-99"))
+    assert(res.deletedMeta.exists(_.startsWith("manifest-")),
+      s"the orphan's fresh manifests must be swept, got ${res.deletedMeta}")
+    assert(orphanOnlyFiles.forall(f => res.deleted.contains(f)),
+      "the orphan's data files must be swept once its snapshot is gone")
+    assert(keepFiles.forall(f => !res.deleted.contains(f)))
+    assert(t.scan().df.count() > 0, "committed snapshot still readable")
+    assert(res.failures.isEmpty, s"unexpected failures: ${res.failures}")
+  }
+
+  test("expire tolerates a manifest a prior half-failed expire already deleted") {
+    val t = LakeTable.create(spark, tmpTable("expire-tolerant"), TranscriptSynth.schema)
+    t.append(synth(20).repartition(4), "init")
+    val oldSnap = t.currentSnapshotId.get
+    val oldManifests = t.currentSnapshot.get.manifestPaths
+    ManifestRewrite.rewrite(t, entriesPerManifest = 2) // fresh manifests; old ones now
+    t.append(synth(5).withColumn("conv_id", concat(lit("z"), col("conv_id"))), "more")
+    // simulate the prior failure: manifest gone, snap json still listed
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t.root, "metadata", oldManifests.head))
+
+    val res = Expire.expire(t, retainLast = 1)
+    assert(res.expiredSnapshots.contains(oldSnap))
+    assert(res.deletedMetaFiles.contains(s"snap-$oldSnap.json"),
+      "the dangling snap json must finally be deleted")
+    assert(res.failures.exists(_.contains(oldManifests.head)),
+      "the missing manifest is reported, not fatal")
+    assert(t.scan().df.count() > 0)
   }
 
   test("commit conflict: concurrent writers to the same parent cannot both win") {
