@@ -34,10 +34,11 @@ OPTS=(
 )
 
 # The sandbox disk is shared-host storage with intermittent multi-second
-# I/O stalls (observed: identical deterministic runs vary 2-5x). Benchmark
-# capability, not neighbor noise: best of N runs per configuration, with
-# sync+sleep settles between runs.
-REPS="${2:-2}"
+# I/O stalls (observed: identical deterministic runs vary 2-5x). Run N reps
+# per configuration with sync+sleep settles between them and report the
+# MEDIAN-throughput rep (robust to a single stalled run in either
+# direction, unlike best-of-N).
+REPS="${2:-3}"
 settle() { sync; sleep 20; }
 
 for cores in "$SMALL" "$BIG"; do
@@ -51,9 +52,11 @@ for cores in "$SMALL" "$BIG"; do
 import json, shutil, sys
 cores, reps = sys.argv[1], int(sys.argv[2])
 runs = [f"target/scalebench/r{cores}_{i}.json" for i in range(1, reps+1)]
-best = max(runs, key=lambda p: json.load(open(p))["throughput"])
-shutil.copy(best, f"target/scalebench/r{cores}.json")
-print(f"best of {reps} for {cores} cores: {best}")
+by_thr = sorted(runs, key=lambda p: json.load(open(p))["throughput"])
+median = by_thr[len(by_thr) // 2]
+shutil.copy(median, f"target/scalebench/r{cores}.json")
+thrs = [round(json.load(open(p))["throughput"]) for p in runs]
+print(f"median of {reps} for {cores} cores: {median} (throughputs: {thrs})")
 PY
 done
 java "${OPTS[@]}" -cp "$CP" graft.ScalingBench report "target/scalebench/r$SMALL.json" "target/scalebench/r$BIG.json"

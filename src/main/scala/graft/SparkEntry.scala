@@ -372,6 +372,23 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // --- sessionization (batch twin of the streaming gap rule) -----------
+    // The SAME gap semantics SessionStats.sessionize applies statefully;
+    // a unit test asserts the streaming path emits exactly these sessions,
+    // so this oracle transitively checks the stateful logic too.
+    "q30_sessionize_batch" -> ((s, d) => {
+      // events.ts is TIMESTAMP_NTZ; cast to TIMESTAMP under the UTC session
+      // (same instant DuckDB's epoch_* assigns the naive value)
+      val turns = t(s, d, "events")
+        .select(concat(lit("u"), lpad(col("user_id").cast("string"), 6, "0")).as("conv_id"),
+          col("ts").cast("timestamp").as("ts"))
+      graft.streaming.SessionStats.sessionizeBatch(turns, gapMs = 12L * 3600 * 1000)
+        .select(col("conv_id"), col("sess_idx"), col("n_turns"),
+          unix_micros(col("start_ts")).as("start_us"),
+          unix_micros(col("end_ts")).as("end_us"))
+        .orderBy("conv_id", "sess_idx")
+    }),
+
     // --- multimodal binary-column plumbing -------------------------------
     "q26_media_meta" -> ((s, d) => {
       val media = graft.functions.Multimodal.fakeMediaFromText(
@@ -625,6 +642,28 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q30_sessionize_batch" ->
+      """WITH g AS (
+        |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT conv_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) > 43200000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sx AS (
+        |  SELECT conv_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM m)
+        |SELECT conv_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM sx GROUP BY conv_id, sess_idx
+        |ORDER BY conv_id, sess_idx""".stripMargin,
 
     "q26_media_meta" ->
       """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,

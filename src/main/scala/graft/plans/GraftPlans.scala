@@ -71,8 +71,37 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     ext.injectOptimizerRule(session => new PruneGraftScans(session))
 }
 
+/** Possibly one-sided bounds; a missing side never prunes. */
+private[plans] final case class Bounds[T](lo: Option[T], hi: Option[T]) {
+  def overlaps(mn: Option[T], mx: Option[T])(implicit ord: Ordering[T]): Boolean =
+    (mn, mx) match {
+      case (Some(a), Some(b)) =>
+        lo.forall(l => ord.gteq(b, l)) && hi.forall(h => ord.lteq(a, h))
+      case _ => true // missing stats: always scanned (safe)
+    }
+  def isAll: Boolean = lo.isEmpty && hi.isEmpty
+  def intersect(o: Bounds[T])(implicit ord: Ordering[T]): Option[Bounds[T]] = {
+    val nlo = (lo.toSeq ++ o.lo.toSeq).reduceOption(ord.max(_, _))
+    val nhi = (hi.toSeq ++ o.hi.toSeq).reduceOption(ord.min(_, _))
+    (nlo, nhi) match {
+      case (Some(a), Some(b)) if ord.gt(a, b) => None // statically empty
+      case _ => Some(Bounds(nlo, nhi))
+    }
+  }
+}
+
+/** One (conv range x turn range) box of the interval DNF. */
+private[plans] final case class Conj(conv: Bounds[String], turn: Bounds[Int]) {
+  def isAll: Boolean = conv.isAll && turn.isAll
+  def intersect(o: Conj): Option[Conj] =
+    for { c <- conv.intersect(o.conv); t <- turn.intersect(o.turn) } yield Conj(c, t)
+}
+private[plans] object Conj {
+  val all: Conj = Conj(Bounds(None, None), Bounds(None, None))
+}
+
 /** Rewrites [[GraftTableScan]] leaves into pruned parquet relations, using
-  * range conjuncts found directly above them.
+  * range/IN/OR predicates found directly above them.
   */
 class PruneGraftScans(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -89,95 +118,127 @@ class PruneGraftScans(spark: SparkSession) extends Rule[LogicalPlan] {
     case g: GraftTableScan => rewrite(g)
   }
 
-  private def pruned(g: GraftTableScan, cond: Expression): LogicalPlan = {
-    val (cLo, cHi) = rangeOf(cond, "conv_id", stringDomain = true)
-    val (tLo, tHi) = rangeOf(cond, "turn_idx", stringDomain = false)
-    rewrite(g,
-      Bounds(cLo.map(_.toString), cHi.map(_.toString)),
-      Bounds(tLo.map(_.asInstanceOf[Int]), tHi.map(_.asInstanceOf[Int])))
-  }
+  private def pruned(g: GraftTableScan, cond: Expression): LogicalPlan =
+    rewrite(g, extract(cond))
 
-  /** Conservative range extraction: only top-level AND conjuncts of
-    * =, >=, <=, >, <, BETWEEN comparing the BARE named column (no Cast —
-    * a coerced comparison evaluates in a different ordering domain than
-    * the string/int manifest stats, so pruning on it would be WRONG, e.g.
-    * turn_idx vs a BIGINT beyond Int range, or conv_id vs a number) against
-    * a literal of the column's own stats type (String for conv_id, integral
-    * within Int range for turn_idx). Anything else simply stays residual
-    * (correct, just unpruned).
+  /** Conservative INTERVAL-DNF extraction: the predicate becomes a union of
+    * (conv range x turn range) boxes; a file is scanned iff its stats
+    * overlap ANY box. Handles AND (box intersection, cross-product),
+    * OR (box union), =, >=, <=, >, <, BETWEEN, IN / InSet — always
+    * comparing the BARE named column (no Cast — a coerced comparison
+    * evaluates in a different ordering domain than the string/int manifest
+    * stats, so pruning on it would be WRONG, e.g. turn_idx vs a BIGINT
+    * beyond Int range, or conv_id vs a number) against literals of the
+    * column's own stats type. Anything unrecognized degrades to the
+    * EVERYTHING box at exactly that subtree — an unknown OR arm keeps the
+    * whole disjunction unpruned (correct), an unknown AND arm just stays
+    * residual. Box counts are capped (64): a pathological predicate falls
+    * back to a full (correct, unpruned) scan rather than exploding the
+    * planner.
     */
-  private def rangeOf(cond: Expression, name: String,
-                      stringDomain: Boolean): (Option[Any], Option[Any]) = {
-    def lit(e: Expression): Option[Any] = e match {
-      case Literal(v: UTF8String, StringType) if stringDomain => Some(v.toString)
-      case Literal(v: Int, _) if !stringDomain => Some(v)
-      case Literal(v: Long, _) if !stringDomain &&
-        v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
-      case Literal(v: Short, _) if !stringDomain => Some(v.toInt)
+  private[plans] def extract(cond: Expression): Seq[Conj] = {
+    val MaxBoxes = 64
+    def convLit(e: Expression): Option[String] = e match {
+      case Literal(v: UTF8String, StringType) => Some(v.toString)
       case _ => None
     }
-    def isCol(e: Expression): Boolean = e match {
+    def turnLit(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, _) => Some(v)
+      case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
+      case Literal(v: Short, _) => Some(v.toInt)
+      case _ => None
+    }
+    def isCol(e: Expression, name: String): Boolean = e match {
       case a: AttributeReference => a.name == name
       case _ => false
     }
-    var lo: Option[Any] = None
-    var hi: Option[Any] = None
-    def bound(l: Option[Any] = None, h: Option[Any] = None): Unit = {
-      l.foreach(v => lo = Some(lo.fold(v)(cur => maxOf(cur, v))))
-      h.foreach(v => hi = Some(hi.fold(v)(cur => minOf(cur, v))))
-    }
-    def walk(e: Expression): Unit = e match {
-      case And(a, b) => walk(a); walk(b)
-      case EqualTo(c, v) if isCol(c) => lit(v).foreach(x => bound(Some(x), Some(x)))
-      case EqualTo(v, c) if isCol(c) => lit(v).foreach(x => bound(Some(x), Some(x)))
-      case GreaterThanOrEqual(c, v) if isCol(c) => bound(l = lit(v))
-      case GreaterThan(c, v) if isCol(c) => bound(l = lit(v))
-      case LessThanOrEqual(c, v) if isCol(c) => bound(h = lit(v))
-      case LessThan(c, v) if isCol(c) => bound(h = lit(v))
-      case GreaterThanOrEqual(v, c) if isCol(c) => bound(h = lit(v))
-      case GreaterThan(v, c) if isCol(c) => bound(h = lit(v))
-      case LessThanOrEqual(v, c) if isCol(c) => bound(l = lit(v))
-      case LessThan(v, c) if isCol(c) => bound(l = lit(v))
-      case _ => ()
-    }
-    walk(cond)
-    (lo, hi) // one-sided bounds prune too (e.g. conv_id >= 'u999990')
-  }
+    def conv(lo: Option[String], hi: Option[String]) =
+      Seq(Conj(Bounds(lo, hi), Bounds[Int](None, None)))
+    def turn(lo: Option[Int], hi: Option[Int]) =
+      Seq(Conj(Bounds[String](None, None), Bounds(lo, hi)))
+    val all = Seq(Conj.all)
 
-  private def maxOf(a: Any, b: Any): Any = (a, b) match {
-    case (x: String, y: String) => if (x >= y) x else y
-    case (x, y) => if (toLong(x) >= toLong(y)) x else y
-  }
-  private def minOf(a: Any, b: Any): Any = (a, b) match {
-    case (x: String, y: String) => if (x <= y) x else y
-    case (x, y) => if (toLong(x) <= toLong(y)) x else y
-  }
-  private def toLong(v: Any): Long = v match {
-    case i: Int => i.toLong; case l: Long => l; case o => o.toString.toLong
-  }
+    def go(e: Expression): Seq[Conj] = e match {
+      case And(a, b) =>
+        val (da, db) = (go(a), go(b))
+        if (da.size.toLong * db.size > MaxBoxes) all
+        else for { x <- da; y <- db; m <- x.intersect(y) } yield m
+      case Or(a, b) =>
+        val u = go(a) ++ go(b)
+        if (u.size > MaxBoxes || u.exists(_.isAll)) all else u
 
-  /** Possibly one-sided bounds; a missing side never prunes. */
-  private case class Bounds[T](lo: Option[T], hi: Option[T]) {
-    def overlaps(mn: Option[T], mx: Option[T])(implicit ord: Ordering[T]): Boolean =
-      (mn, mx) match {
-        case (Some(a), Some(b)) =>
-          lo.forall(l => ord.gteq(b, l)) && hi.forall(h => ord.lteq(a, h))
-        case _ => true // missing stats: always scanned (safe)
-      }
+      case In(c, vs) if isCol(c, "conv_id") =>
+        val pts = vs.map(convLit)
+        if (pts.forall(_.isDefined) && pts.size <= MaxBoxes)
+          pts.flatten.flatMap(v => conv(Some(v), Some(v))) else all
+      case In(c, vs) if isCol(c, "turn_idx") =>
+        val pts = vs.map(turnLit)
+        if (pts.forall(_.isDefined) && pts.size <= MaxBoxes)
+          pts.flatten.flatMap(v => turn(Some(v), Some(v))) else all
+      case InSet(c, hs) if isCol(c, "conv_id") && hs.size <= MaxBoxes =>
+        val pts = hs.toSeq.map {
+          case v: UTF8String => Some(v.toString)
+          case v: String => Some(v)
+          case _ => None
+        }
+        if (pts.forall(_.isDefined))
+          pts.flatten.sorted.flatMap(v => conv(Some(v), Some(v))) else all
+      case InSet(c, hs) if isCol(c, "turn_idx") && hs.size <= MaxBoxes =>
+        val pts = hs.toSeq.map {
+          case v: Int => Some(v)
+          case v: Long if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
+          case _ => None
+        }
+        if (pts.forall(_.isDefined))
+          pts.flatten.sorted.flatMap(v => turn(Some(v), Some(v))) else all
+
+      case EqualTo(c, v) if isCol(c, "conv_id") =>
+        convLit(v).map(x => conv(Some(x), Some(x))).getOrElse(all)
+      case EqualTo(v, c) if isCol(c, "conv_id") =>
+        convLit(v).map(x => conv(Some(x), Some(x))).getOrElse(all)
+      case EqualTo(c, v) if isCol(c, "turn_idx") =>
+        turnLit(v).map(x => turn(Some(x), Some(x))).getOrElse(all)
+      case EqualTo(v, c) if isCol(c, "turn_idx") =>
+        turnLit(v).map(x => turn(Some(x), Some(x))).getOrElse(all)
+
+      case GreaterThanOrEqual(c, v) if isCol(c, "conv_id") => conv(convLit(v), None)
+      case GreaterThan(c, v) if isCol(c, "conv_id") => conv(convLit(v), None)
+      case LessThanOrEqual(c, v) if isCol(c, "conv_id") => conv(None, convLit(v))
+      case LessThan(c, v) if isCol(c, "conv_id") => conv(None, convLit(v))
+      case GreaterThanOrEqual(v, c) if isCol(c, "conv_id") => conv(None, convLit(v))
+      case GreaterThan(v, c) if isCol(c, "conv_id") => conv(None, convLit(v))
+      case LessThanOrEqual(v, c) if isCol(c, "conv_id") => conv(convLit(v), None)
+      case LessThan(v, c) if isCol(c, "conv_id") => conv(convLit(v), None)
+
+      case GreaterThanOrEqual(c, v) if isCol(c, "turn_idx") => turn(turnLit(v), None)
+      case GreaterThan(c, v) if isCol(c, "turn_idx") => turn(turnLit(v), None)
+      case LessThanOrEqual(c, v) if isCol(c, "turn_idx") => turn(None, turnLit(v))
+      case LessThan(c, v) if isCol(c, "turn_idx") => turn(None, turnLit(v))
+      case GreaterThanOrEqual(v, c) if isCol(c, "turn_idx") => turn(None, turnLit(v))
+      case GreaterThan(v, c) if isCol(c, "turn_idx") => turn(None, turnLit(v))
+      case LessThanOrEqual(v, c) if isCol(c, "turn_idx") => turn(turnLit(v), None)
+      case LessThan(v, c) if isCol(c, "turn_idx") => turn(turnLit(v), None)
+
+      case _ => all
+    }
+    go(cond)
   }
 
   private def rewrite(g: GraftTableScan,
-                      convR: Bounds[String] = Bounds(None, None),
-                      turnR: Bounds[Int] = Bounds(None, None)): LogicalPlan = {
+                      conjs: Seq[Conj] = Seq(Conj.all)): LogicalPlan = {
     val table = LakeTable.load(spark, g.root)
     val snap = g.snapshotId.map(table.snapshot)
       .getOrElse(table.currentSnapshot.get)
+    // a file/manifest is scanned iff ANY box overlaps its stats; an EMPTY
+    // box list (statically unsatisfiable predicate) scans nothing
     val overlapping = snap.manifests.filter { r =>
-      convR.overlaps(r.minConv, r.maxConv) && turnR.overlaps(r.minTurn, r.maxTurn)
+      conjs.exists(c => c.conv.overlaps(r.minConv, r.maxConv) &&
+        c.turn.overlaps(r.minTurn, r.maxTurn))
     }
     val selected = overlapping.flatMap(r => table.manifest(r.path).entries)
       .filter { f =>
-        convR.overlaps(f.minConv, f.maxConv) && turnR.overlaps(f.minTurn, f.maxTurn)
+        conjs.exists(c => c.conv.overlaps(f.minConv, f.maxConv) &&
+          c.turn.overlaps(f.minTurn, f.maxTurn))
       }
     val st = snap.schema.toStruct
     val rel: LogicalPlan =

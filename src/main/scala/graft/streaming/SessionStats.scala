@@ -39,6 +39,28 @@ object SessionStats {
         col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("n_turns"))
 
+  /** Batch-mode twin of [[sessionize]]: the identical gap rule over a
+    * static frame via lag + running-sum session ids — one shuffle on the
+    * conversation key, ANSI-SQL expressible (it is the driver oracle for
+    * the streaming semantics), and the unit-level cross-check that the
+    * stateful path emits exactly these sessions. Expects (conv_id, ts);
+    * returns (conv_id, sess_idx, n_turns, start_ts, end_ts).
+    */
+  def sessionizeBatch(turns: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("conv_id").orderBy("ts")
+    val run = Window.partitionBy("conv_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_millis(col("ts")) - unix_millis(col("__prev")) > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("__new")).over(run))
+      .groupBy(col("conv_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_turns"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+  }
+
   /** Gap-based sessionization with explicit per-conversation state: a
     * session CLOSES when a later event arrives more than `gapMs` after the
     * previous one ("gap"), or when the watermark passes lastSeen + gapMs
@@ -60,27 +82,31 @@ object SessionStats {
         state.remove()
         Iterator.single(close(convId, s, "timeout"))
       } else {
+        // Gap-merge the batch's events AND the open session in ONE pass over
+        // time order — the open session participates as an interval at its
+        // sorted position. This makes sub-watermark LATE events (which
+        // flatMapGroupsWithState still delivers) behave exactly like the
+        // batch gap rule: consecutive late events within gapMs of each other
+        // coalesce into ONE earlier session (not one fabricated session per
+        // event), and a late chain reaching within gapMs of the open
+        // session's start simply merges into it.
         val times = events.map(_._2.getTime).toVector.sorted
-        val out = Vector.newBuilder[SessionSummary]
-        var cur = state.getOption
-        times.foreach { t =>
-          cur match {
-            case Some(s) if t - s.lastMs > gapMs =>
-              out += close(convId, s, "gap")
-              cur = Some(SessionState(1, t, t))
-            case Some(s) if s.startMs - t > gapMs =>
-              // a LATE event more than a gap BEFORE the open session
-              // (flatMapGroupsWithState still delivers sub-watermark rows):
-              // it is its own, already-closed earlier session — merging it
-              // would fabricate one session spanning the silence
-              out += close(convId, SessionState(1, t, t), "gap")
-            case Some(s) =>
-              cur = Some(SessionState(s.nTurns + 1, math.min(s.startMs, t), math.max(s.lastMs, t)))
-            case None =>
-              cur = Some(SessionState(1, t, t))
+        val ivs = (state.getOption.map(s => (s.startMs, s.lastMs, s.nTurns)).toVector ++
+          times.map(t => (t, t, 1L))).sortBy(iv => (iv._1, iv._2))
+        val merged = ivs.foldLeft(Vector.empty[(Long, Long, Long)]) {
+          case (acc, iv @ (st, en, n)) => acc.lastOption match {
+            case Some((pst, pen, pn)) if st - pen <= gapMs =>
+              acc.init :+ ((pst, math.max(pen, en), pn + n))
+            case _ => acc :+ iv
           }
         }
-        cur.foreach { s =>
+        // everything but the LAST interval closed by a later-event gap; the
+        // last stays open in state until its own gap or timeout
+        val out = merged.init.map { case (st, en, n) =>
+          close(convId, SessionState(n, st, en), "gap")
+        }
+        merged.lastOption.foreach { case (st, en, n) =>
+          val s = SessionState(n, st, en)
           state.update(s)
           // close by timeout once the watermark passes the gap horizon;
           // never set a timeout at-or-before the current watermark
@@ -88,7 +114,7 @@ object SessionStats {
           val wm = state.getCurrentWatermarkMs()
           state.setTimeoutTimestamp(math.max(horizon, wm + 1))
         }
-        out.result().iterator
+        out.iterator
       }
     }
 

@@ -99,6 +99,56 @@ class PlansSpec extends AnyFunSuite {
       "a lower-bound-only predicate must still skip the files below it")
   }
 
+  test("IN-list prunes to exactly the matching files") {
+    val t = freshTable("plans-in", 200, 20)
+    GraftPlans.install(spark)
+    // small IN stays Catalyst `In`; >10 values becomes InSet — cover both
+    val small = GraftPlans.scan(spark, t)
+      .where(col("conv_id").isin("c00000042", "c00000141"))
+    assert(small.count() ==
+      t.scan().df.where(col("conv_id").isin("c00000042", "c00000141")).count())
+    assert(scannedFiles(small) <= 3,
+      "a 2-value IN must open only the slabs holding those conversations")
+
+    val vals = (40 to 55).map(i => f"c$i%08d")
+    val inset = GraftPlans.scan(spark, t).where(col("conv_id").isin(vals: _*))
+    assert(inset.count() ==
+      t.scan().df.where(col("conv_id").isin(vals: _*)).count())
+    assert(scannedFiles(inset) <= 4,
+      "a 16-value InSet over one slab range must not read the whole table")
+  }
+
+  test("OR of two ranges opens both slabs and nothing else") {
+    val t = freshTable("plans-or", 200, 20)
+    GraftPlans.install(spark)
+    val pred = (col("conv_id").between("c00000010", "c00000019")) ||
+      (col("conv_id").between("c00000180", "c00000189"))
+    val df = GraftPlans.scan(spark, t).where(pred)
+    assert(df.count() == t.scan().df.where(pred).count())
+    val files = scannedFiles(df)
+    assert(files <= 5, s"two narrow OR ranges must read <=5 of 20 files, read $files")
+    assert(files >= 2, "both slabs must be read")
+  }
+
+  test("OR with an unanalyzable arm keeps the full, correct scan") {
+    val t = freshTable("plans-or-fallback", 50, 5)
+    GraftPlans.install(spark)
+    val pred = col("conv_id").between("c00000010", "c00000019") ||
+      col("conv_id").endsWith("3")
+    val df = GraftPlans.scan(spark, t).where(pred)
+    assert(df.count() == t.scan().df.where(pred).count())
+    assert(scannedFiles(df) == 5,
+      "an OR arm the rule cannot bound forces the whole disjunction unpruned")
+  }
+
+  test("statically empty predicate (lo > hi) scans zero files") {
+    val t = freshTable("plans-empty", 50, 5)
+    GraftPlans.install(spark)
+    val df = GraftPlans.scan(spark, t)
+      .where(col("conv_id") >= "c00000040" && col("conv_id") <= "c00000010")
+    assert(df.count() == 0)
+  }
+
   test("no filter at all reads everything") {
     val t = freshTable("plans-full", 50, 5)
     GraftPlans.install(spark)

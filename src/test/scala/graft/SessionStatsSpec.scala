@@ -47,6 +47,73 @@ class SessionStatsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize emits exactly the batch twin's sessions") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.classic.SQLContext = classic.sqlContext
+    val data = Seq(
+      ("a", 0L), ("a", 30L), ("a", 45L), ("a", 200L), ("a", 230L),
+      ("b", 10L), ("b", 80L), ("b", 130L),
+      ("c", 5L)).map { case (c, off) => (c, ts(off)) }
+
+    val in = MemoryStream[(String, Timestamp)]
+    val sessions = SessionStats.sessionize(spark,
+      in.toDF().toDF("conv_id", "ts"), gapMs = 60000, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("xcheck")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Paths.get("target", "test-stream", "xc-" + System.nanoTime()).toString)
+      .start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      // two sentinel batches: advance the watermark past every gap horizon
+      // so trailing sessions close by timeout
+      in.addData(("zz", ts(100000))); q.processAllAvailable()
+      in.addData(("zz", ts(200000))); q.processAllAvailable()
+      val streamed = spark.table("xcheck")
+        .where(col("conv_id") =!= "zz")
+        .select("conv_id", "n_turns", "start_ts", "end_ts")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+      val batch = SessionStats.sessionizeBatch(
+        data.toDF("conv_id", "ts"), gapMs = 60000)
+        .select("conv_id", "n_turns", "start_ts", "end_ts")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+      assert(streamed == batch,
+        s"streaming $streamed\nvs batch $batch")
+    } finally q.stop()
+  }
+
+  test("late events within a gap of each other coalesce into one session") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.classic.SQLContext = classic.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    // a LAGGING watermark (10 min delay) is what lets genuinely-late rows
+    // through to the state function — with delay 0 Spark pre-filters them
+    val sessions = SessionStats.sessionize(spark,
+      in.toDF().toDF("conv_id", "ts"), gapMs = 60000, watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("late")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Paths.get("target", "test-stream", "lt-" + System.nanoTime()).toString)
+      .start()
+    try {
+      in.addData(("a", ts(1000))) // opens a session at t=1000s; wm -> 400s
+      q.processAllAvailable()
+      // three late events (above the 400 s watermark, but more than a gap
+      // BEFORE the open session), mutually within the 60 s gap: they must
+      // form ONE earlier session, not three fabricated ones
+      in.addData(("a", ts(500)), ("a", ts(520)), ("a", ts(540)))
+      q.processAllAvailable()
+      val rows = spark.table("late")
+        .select("conv_id", "n_turns", "closed_by")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      assert(rows == Seq(("a", 3L, "gap")),
+        s"expected one coalesced 3-turn late session, got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize: gap close, timeout close, state cleared") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.classic.SQLContext = classic.sqlContext
