@@ -81,8 +81,13 @@ object Dedup {
     * operator here. Counts come from `groupBy(keys).count()` (map-side
     * partial aggregation: a stopword's billion postings reduce inside each
     * task before one (key,count) row shuffles), and the heavy-key set —
-    * tiny by construction, at most |rows|/maxBucket keys — broadcasts into
-    * a `left_anti` join. Contrast a `count().over(Window.partitionBy(key))`:
+    * at most |rows|/maxBucket keys — anti-joins the postings out. No forced
+    * broadcast hint: for the band-bucket caps the heavy set is tiny and AQE
+    * converts the anti-join to a broadcast join at runtime from its ACTUAL
+    * size, while for the document-frequency cap the heavy set is the whole
+    * common vocabulary (grows with the corpus) and a mandatory broadcast
+    * would OOM the driver at scale — a shuffled anti-join degrades
+    * gracefully instead. Contrast a `count().over(Window.partitionBy(key))`:
     * that shuffles EVERY posting of the hot key to a single task before the
     * filter can drop it, which is exactly the stall/OOM the cap exists to
     * prevent.
@@ -91,7 +96,7 @@ object Dedup {
     val heavy = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxBucket)
       .select(keys.map(col): _*)
-    df.join(broadcast(heavy), keys, "left_anti")
+    df.join(heavy, keys, "left_anti")
   }
 
   /** SimHash near-duplicate CANDIDATE pairs via banded Hamming join: the
@@ -122,8 +127,13 @@ object Dedup {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
     val chunkBits = 64 / bands
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    // The fingerprint frame (a full-corpus explode + 64-sum groupBy, the
+    // operator's dominant cost) feeds FIVE consumers below — persist makes
+    // the reuse explicit instead of relying on ReuseExchange surviving AQE
+    // replanning; the ContextCleaner unpersists it once unreferenced.
     val fp = simhashDf(df, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // One row per DISTINCT fingerprint; members expand at the end.
     val groups = fp.select("simhash").distinct()
@@ -243,8 +253,11 @@ object Dedup {
       explode(wordShingles(col(textCol), shingleK)).as("sh"))
     val minAggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     val mins = shingled.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    // persist: the signature frame (shingle explode + 32-way min agg, the
+    // dominant cost) feeds five consumers below — see simhashCandidatePairs
     val sig = mins.select(col("id"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one banded row per DISTINCT signature
     val exploded = sig.select(col("sig")).distinct().select(col("sig"),

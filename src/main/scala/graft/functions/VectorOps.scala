@@ -76,12 +76,15 @@ object VectorOps {
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, nPlanes: Int = 8, maxBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // no forced broadcast hint on the heavy-bucket set: it is n/maxBucket
+    // rows — usually tiny, but unbounded at corpus scale — so AQE picks
+    // broadcast-vs-shuffle from its ACTUAL runtime size
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
     val heavy = bucketed.groupBy("bucket").agg(count(lit(1)).as("__bn"))
       .where(col("__bn") > maxBucket)
     val withB = bucketed
-      .join(broadcast(heavy), Seq("bucket"), "left_outer")
+      .join(heavy, Seq("bucket"), "left_outer")
       .where(col("__bn").isNull ||
         pmod(xxhash64(col("id")), ceil(col("__bn").cast("double") / maxBucket).cast("long")) === 0)
       .drop("__bn")

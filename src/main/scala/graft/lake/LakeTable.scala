@@ -74,6 +74,17 @@ class LakeTable(val root: String, val spark: SparkSession) {
       .map(n => n.stripPrefix("snap-").stripSuffix(".json").toLong)
       .sorted
 
+  /** [[allSnapshots]] but skipping snap files that fail to PARSE — torn
+    * residue of a crashed mid-write commit. Such files are never reachable
+    * (adoption validates before swinging the pointer), so maintenance can
+    * safely treat them as absent; OrphanGc's metadata sweep removes them
+    * past the grace age. Strict readers keep throwing loudly.
+    */
+  def allSnapshotsTolerant: Vector[Snapshot] =
+    allSnapshotIds.flatMap { id =>
+      try Some(snapshot(id)) catch { case _: Exception => None }
+    }
+
   /** Snapshots reachable from the version pointer — ids are assigned
     * parent+1 and the pointer only advances over published ids, so
     * "committed" = id <= pointer. An orphan snap file beyond the pointer
@@ -138,17 +149,8 @@ class LakeTable(val root: String, val spark: SparkSession) {
            snapshotId: Option[Long] = None): Scan = {
     val snap = snapshotId.map(snapshot).orElse(currentSnapshot)
       .getOrElse(throw new IllegalStateException("no snapshot to scan"))
-    val refs = snap.manifests
-    val overlapping = refs.filter { r =>
-      convRange.forall { case (lo, hi) => r.overlapsConv(lo, hi) } &&
-      turnRange.forall { case (lo, hi) => r.overlapsTurn(lo, hi) }
-    }
-    val files = overlapping.flatMap(r => manifest(r.path).entries)
-    val selected = files.filter { f =>
-      convRange.forall { case (lo, hi) => f.overlapsConv(lo, hi) } &&
-      turnRange.forall { case (lo, hi) => f.overlapsTurn(lo, hi) }
-    }
-    val totalFiles = refs.map(_.entryCount).sum
+    val pruned = overlappingEntries(snap, convRange, turnRange)
+    val selected = pruned.entries.map(_.file)
     val st = snap.schema.toStruct
     val base =
       if (selected.isEmpty)
@@ -158,8 +160,33 @@ class LakeTable(val root: String, val spark: SparkSession) {
       convRange.map { case (lo, hi) => col("conv_id").between(lo, hi) },
       turnRange.map { case (lo, hi) => col("turn_idx").between(lo, hi) }
     ).flatten.foldLeft(base)((d, p) => d.where(p))
-    Scan(filtered, PruneStats(totalFiles, selected.size.toLong,
-      refs.size.toLong, overlapping.size.toLong))
+    Scan(filtered, PruneStats(pruned.totalFiles, selected.size.toLong,
+      pruned.totalManifests, pruned.openedManifests))
+  }
+
+  /** THE two-level metadata pruning rule, shared by [[scan]] and MERGE's
+    * rewrite-set planning: manifests whose persisted aggregate range misses
+    * the predicate are never OPENED (their entry counts still report into
+    * `totalFiles`), then per-file stats prune within the opened ones.
+    * Entries come back with manifest provenance so maintenance can hand
+    * them straight to [[commitDelta]].
+    */
+  def overlappingEntries(snap: Snapshot,
+                         convRange: Option[(String, String)],
+                         turnRange: Option[(Int, Int)] = None): LakeTable.PrunedEntries = {
+    val refs = snap.manifests
+    val overlapping = refs.filter { r =>
+      convRange.forall { case (lo, hi) => r.overlapsConv(lo, hi) } &&
+      turnRange.forall { case (lo, hi) => r.overlapsTurn(lo, hi) }
+    }
+    val entries = overlapping.flatMap { r =>
+      manifest(r.path).entries.withFilter { f =>
+        convRange.forall { case (lo, hi) => f.overlapsConv(lo, hi) } &&
+        turnRange.forall { case (lo, hi) => f.overlapsTurn(lo, hi) }
+      }.map(FileEntry(r.path, _))
+    }
+    LakeTable.PrunedEntries(entries, refs.map(_.entryCount).sum,
+      refs.size.toLong, overlapping.size.toLong)
   }
 
   /** Stable user-facing read: current snapshot ordered by the table key. */
@@ -327,8 +354,20 @@ class LakeTable(val root: String, val spark: SparkSession) {
       StandardOpenOption.CREATE_NEW)
     catch {
       case _: FileAlreadyExistsException =>
-        val pointer = currentSnapshotId
-        if (pointer == parent.map(_.id)) {
+        // Adoption guards: (a) the orphan must PARSE — a torn half-written
+        // file from a crash mid-write must never become the current
+        // snapshot (readers would brick); unparseable/missing orphans are
+        // left for OrphanGc's grace-aged metadata sweep, and the conflict
+        // stays retryable because once GC removes the file CREATE_NEW
+        // succeeds. (b) the pointer is RE-READ immediately before the move
+        // and the adoption skipped if it advanced — narrows the
+        // check-then-move window so a stalled adopter cannot roll the
+        // pointer back over a newer commit (full CAS would need a locking
+        // primitive plain filesystems lack; the residual window is the
+        // nanoseconds between re-read and rename, vs seconds-long commits).
+        val orphanOk =
+          try { snapshot(id); true } catch { case _: Exception => false }
+        if (orphanOk && currentSnapshotId == parent.map(_.id)) {
           val tmpA = metaDir.resolve(s"version-hint.adopt-$id")
           writeString(tmpA, id.toString)
           Files.move(tmpA, metaDir.resolve("version-hint.txt"),
@@ -356,6 +395,12 @@ object LakeTable {
 
   /** A data file plus the manifest it currently lives in. */
   final case class FileEntry(manifest: String, file: DataFile)
+
+  /** Result of [[LakeTable.overlappingEntries]]: the selected entries plus
+    * the pruning evidence (how much metadata was never even opened).
+    */
+  final case class PrunedEntries(entries: Vector[FileEntry], totalFiles: Long,
+                                 totalManifests: Long, openedManifests: Long)
 
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 

@@ -27,7 +27,7 @@ object Expire {
              retainLast: Int = 2,
              olderThanMs: Option[Long] = None,
              nowMs: Long = System.currentTimeMillis()): Result = {
-    val snaps = table.allSnapshots
+    val snaps = table.allSnapshotsTolerant
     val currentId = table.currentSnapshotId.get
 
     val newestFirst = snaps.sortBy(-_.id)
@@ -146,8 +146,11 @@ object OrphanGc {
         Files.deleteIfExists(p); deletedMeta += s"snap-$id.json"
       } catch { case e: Exception => failures += s"snap-$id.json: ${e.getMessage}" }
     }
-    // 2. manifests referenced by NO remaining snapshot, past grace
-    val liveManifests = table.allSnapshots.flatMap(_.manifestPaths).toSet
+    // 2. manifests referenced by NO remaining snapshot, past grace.
+    // ONE metadata parse serves both this sweep and the data sweep below
+    // (nothing between them deletes snapshots).
+    val remaining = table.allSnapshotsTolerant
+    val liveManifests = remaining.flatMap(_.manifestPaths).toSet
     if (Files.exists(metaDir)) LakeTable.listDir(metaDir).foreach { p =>
       val n = p.getFileName.toString
       val sweepable = n.startsWith("manifest-") && n.endsWith(".json") ||
@@ -168,7 +171,7 @@ object OrphanGc {
     // NoSuchFile is tolerated, an IO error must not shrink the set.)
     val referenced =
       Expire.tolerantDataPaths(table,
-        table.allSnapshots.flatMap(_.manifestPaths), failures).toSet ++
+        remaining.flatMap(_.manifestPaths), failures).toSet ++
         Ledger.allTaskRows(table).flatMap(_.outFiles.map(_.path))
     val dataDir = Paths.get(table.root, "data")
     if (Files.exists(dataDir)) {

@@ -86,19 +86,14 @@ object MergeInto {
     // manifests, per-file stats select the rewrite set.
     val snap = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"no snapshot to merge into at ${table.root}"))
-    val refs = snap.manifests
-    val overlappingRefs = (lo, hi) match {
-      case (Some(l), Some(h)) => refs.filter(_.overlapsConv(l, h))
-      case _ => Vector.empty[graft.lake.ManifestRef]
+    val pruned = (lo, hi) match {
+      case (Some(l), Some(h)) => table.overlappingEntries(snap, Some((l, h)))
+      case _ => // empty staged batch: nothing to rewrite, open NO manifests
+        LakeTable.PrunedEntries(Vector.empty,
+          snap.manifests.map(_.entryCount).sum, snap.manifests.size.toLong, 0L)
     }
-    val touched = (lo, hi) match {
-      case (Some(l), Some(h)) => overlappingRefs.flatMap(r =>
-        table.manifest(r.path).entries.withFilter(_.overlapsConv(l, h))
-          .map(FileEntry(r.path, _)))
-      case _ => Vector.empty[FileEntry]
-    }
-    val totalFiles = refs.map(_.entryCount).sum
-    val carried = (totalFiles - touched.size).toInt
+    val touched = pruned.entries
+    val carried = (pruned.totalFiles - touched.size).toInt
 
     val st = evolvedSchema.toStruct
     val target =
@@ -148,6 +143,7 @@ object MergeInto {
         "rejected_rows" -> rejectedRows.toString,
         "touched_files" -> touched.size.toString))
     Result(snap2, touched.size, carried, stagedRows, rejectedRows,
-      openedManifests = overlappingRefs.size, totalManifests = refs.size)
+      openedManifests = pruned.openedManifests.toInt,
+      totalManifests = pruned.totalManifests.toInt)
   }
 }

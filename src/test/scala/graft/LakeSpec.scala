@@ -379,6 +379,31 @@ class LakeSpec extends AnyFunSuite {
     assert(t.scan().df.count() == rows2 + extra.count())
   }
 
+  test("torn orphan snapshot: never adopted, maintenance unharmed, GC sweeps it") {
+    val t = LakeTable.create(spark, tmpTable("orphan-torn"), TranscriptSynth.schema)
+    t.append(synth(10), "first")
+    val committed = t.currentSnapshotId.get
+    // a commit that crashed MID-WRITE of the snapshot json: truncated garbage
+    val torn = java.nio.file.Paths.get(t.root, "metadata", s"snap-${committed + 1}.json")
+    java.nio.file.Files.writeString(torn, "{\"snapshot_id\": 99, \"trunc")
+
+    // the next writer must NOT swing the pointer to the unparseable file
+    val extra = synth(5).withColumn("conv_id", concat(lit("t"), col("conv_id")))
+    intercept[LakeTable.CommitConflictException] { t.append(extra, "second") }
+    assert(t.currentSnapshotId.contains(committed),
+      "pointer must stay on the last VALID snapshot")
+    assert(t.scan().df.count() > 0, "table stays readable")
+
+    // expiry and GC tolerate the torn file; GC sweeps it past the grace age
+    Expire.expire(t, retainLast = 1)
+    val res = OrphanGc.removeOrphans(t, olderThanMs = 0,
+      nowMs = System.currentTimeMillis() + 60000)
+    assert(res.deletedMeta.contains(s"snap-${committed + 1}.json"))
+    // with the residue gone, the retry commits cleanly
+    val snap = t.append(extra, "second-retry")
+    assert(snap.id == committed + 1)
+  }
+
   test("job idempotence: O(1) ledger marker, chain-walk fallback heals it") {
     val t = LakeTable.create(spark, tmpTable("idem-marker"), TranscriptSynth.schema)
     t.append(synth(60).repartition(6), "init")
