@@ -13,7 +13,11 @@ BIG="${BIG:-32}"      # 4N cores
 # node-local storage (a real cluster's disks scale with executors; the
 # sandbox's one shared disk does not). Default: repo target dir (disk).
 export SPARK_GRAFT_BENCH_DIR="${SPARK_GRAFT_BENCH_DIR:-target/scalebench}"
-CP="target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*"
+# Freeze the classpath: a `sbt compile` during the (hour-long) run would
+# otherwise swap class files under the lazily-loading JVMs -> NoSuchMethodError
+rm -rf target/benchclasses
+cp -r target/scala-2.13/classes target/benchclasses
+CP="target/benchclasses:src/main/resources:/opt/spark/jars/*"
 OPTS=(
   --add-opens=java.base/java.lang=ALL-UNNAMED
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED

@@ -257,6 +257,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Near-dup groups via min-id label propagation over the exact-dup pair
+    // graph: group_id must equal min(doc_id) over each identical-text group
+    // (cliques converge in one round) — plain SQL states that directly.
+    "q31_dedup_groups" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val pairs = docs.as("x").join(docs.as("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      Dedup.dedupGroups(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
     // --- embedding similarity ------------------------------------------
     "q17_cosine_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -544,6 +557,10 @@ object SparkEntry {
     // cross-agreement and exact-duplicate fingerprint equality
     "q16_simhash" ->
       """SELECT doc_id, 1 AS impls_agree, 1 AS dup_agree
+        |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin,
+
+    "q31_dedup_groups" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS group_id
         |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin,
 
     // the planted exact copy must rank #1 for every query

@@ -220,6 +220,49 @@ object Dedup {
         (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
   }
 
+  /** Near-duplicate GROUPS from candidate pairs: min-id label propagation
+    * over the pair graph — each round, every node adopts the smallest label
+    * among itself and its neighbors; after `maxIters` rounds the group id
+    * is the smallest id reachable within that many hops. Near-dup graphs
+    * have tiny diameter (exact-dup groups are cliques — one round; near-dup
+    * chains are short), so a handful of rounds converges; the iteration is
+    * all equi-joins + map-side-combinable min aggregations, no driver-side
+    * graph state, so it scales like any shuffle. The per-round frames are
+    * persisted and the loop STOPS EARLY when a round changes no label.
+    *
+    * `pairs` needs columns (id_a, id_b); `ids` supplies every node (isolated
+    * docs keep their own id as group). Returns (idCol, group_id); the
+    * canonical "keeper" of a group is the row where idCol == group_id.
+    */
+  def dedupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
+                  maxIters: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("grp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (i < maxIters && !converged) {
+      // neighbor labels: for each edge dst, the src's current label
+      val nbr = edges.join(labels.select(col("id").as("src"), col("grp")), "src")
+        .groupBy(col("dst").as("id")).agg(min("grp").as("nbr_grp"))
+      val next = labels.join(nbr, Seq("id"), "left_outer")
+        .select(col("id"), least(col("grp"), coalesce(col("nbr_grp"), col("grp"))).as("grp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("p"), "id")
+        .where(col("n.grp") =!= col("p.grp")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("grp").as("group_id"))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs over (idCol, textCol).
     *
     * Shape chosen for scale AND to defeat Catalyst's CollapseProject: a

@@ -66,18 +66,25 @@ object SketchStressBench {
       docs.count(); vecs.count() // materialize outside the timed region
       val (mh, tMh) = timed(Dedup.minhashCandidatePairs(docs, "doc_id", "text").count())
       val (sh, tSh) = timed(Dedup.simhashCandidatePairs(docs, "doc_id", "text").count())
+      // LSH planes must GROW with the corpus (bucket size ~ n/2^planes, and
+      // within-bucket work is quadratic in it): hold expected bucket size
+      // ~20 by scaling planes with log2(n) — the knob a 100 TB deployment
+      // turns, and what keeps the join bucket-local at any scale.
+      val planes = math.max(8, (math.log(n / 20.0) / math.log(2)).ceil.toInt)
       val (ann, tAnn) = timed(
-        VectorOps.lshBucketTopK(vecs, "vec_id", "embedding", 5, maxBucket = 2000).count())
+        VectorOps.lshBucketTopK(vecs, "vec_id", "embedding", 5,
+          nPlanes = planes, maxBucket = 2000).count())
       docs.unpersist(); vecs.unpersist()
       println(s"""{"n":$n,"minhash_pairs":$mh,"minhash_sec":$tMh,""" +
-        s""""simhash_pairs":$sh,"simhash_sec":$tSh,"ann_rows":$ann,"ann_sec":$tAnn}""")
+        s""""simhash_pairs":$sh,"simhash_sec":$tSh,"ann_planes":$planes,""" +
+        s""""ann_rows":$ann,"ann_sec":$tAnn}""")
       (n, mh, tMh, sh, tSh, ann, tAnn)
     }
 
     val md = new StringBuilder
     md.append(s"\n## Sketch-suite stress (${java.time.Instant.now()}, " +
       "deterministic synth corpus, 1x/3x/10x)\n\n")
-    md.append("| docs | minhash pairs | sec | simhash pairs | sec | ann top-k rows | sec |\n")
+    md.append("| docs | minhash pairs | sec | simhash pairs | sec | ann top-k rows (planes scaled) | sec |\n")
     md.append("|---|---|---|---|---|---|---|\n")
     rows.foreach { case (n, mh, tMh, sh, tSh, ann, tAnn) =>
       md.append(f"| $n | $mh | $tMh%.1f | $sh | $tSh%.1f | $ann | $tAnn%.1f |\n")

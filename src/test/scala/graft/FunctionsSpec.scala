@@ -226,6 +226,23 @@ class DedupSpec extends AnyFunSuite {
     assert(windows(topk) == 1)
   }
 
+  test("dedupGroups: chains propagate to one group, isolated docs keep their id") {
+    import spark.implicits._
+    val ids = (1L to 7L).map(i => Tuple1(i)).toDF("doc_id")
+    // chain 1-2-3-4 (no direct 1-3/1-4 edges), pair 5-6, isolated 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupGroups(ids, "doc_id", pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 7L)))
+    // early exit: a clique needs one round; maxIters=1 must already be right
+    val clique = Seq((10L, 11L), (10L, 12L), (11L, 12L)).toDF("id_a", "id_b")
+    val cg = Dedup.dedupGroups(Seq(10L, 11L, 12L).map(Tuple1(_)).toDF("doc_id"),
+      "doc_id", clique, maxIters = 1)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(cg.toSeq == Seq(10L))
+  }
+
   test("jaccard candidates: document-frequency cap keeps stopwords out of the join") {
     import spark.implicits._
     // every doc shares the stopword "the"; only (1,2) share a rare token
