@@ -188,6 +188,44 @@ object Ledger {
       "rows", "bytes", "duration_ms", "error_message")
   }
 
+  // ---- ledger expiry ------------------------------------------------------
+
+  final case class ExpireResult(deletedJobs: Vector[String], failures: Vector[String])
+
+  /** Sweep job directories whose every file is older than `olderThanMs` AND
+    * whose commit marker exists (the job finished and published) — without
+    * this, a maintenance cadence at lakehouse scale accumulates one dir per
+    * cycle forever, and [[allTaskRows]] (consulted by OrphanGc on every
+    * cycle) walks an unbounded tree. Unfinished jobs (no marker) are NEVER
+    * swept regardless of age: their checkpointed outputs are what resume —
+    * and OrphanGc's data-sweep protection — depend on. Losing an OLD
+    * committed job's marker only costs the idempotence short-circuit; a
+    * replayed ancient jobId re-plans against the current snapshot, which for
+    * incremental clustering/compaction is a cheap no-op, not a correctness
+    * hazard.
+    */
+  def expireJobs(table: LakeTable, olderThanMs: Long,
+                 nowMs: Long = System.currentTimeMillis()): ExpireResult = {
+    val deleted = Vector.newBuilder[String]
+    val failures = Vector.newBuilder[String]
+    if (Files.exists(table.ledgerDir)) {
+      LakeTable.listDir(table.ledgerDir).filter(Files.isDirectory(_)).foreach { dir =>
+        val jobId = dir.getFileName.toString
+        try {
+          val files = LakeTable.listDir(dir)
+          val committed = files.exists(_.getFileName.toString == "commit.json")
+          val allOld = files.nonEmpty &&
+            files.forall(f => Files.getLastModifiedTime(f).toMillis < nowMs - olderThanMs)
+          if (committed && allOld) {
+            LakeTable.deleteRecursively(dir)
+            deleted += jobId
+          }
+        } catch { case e: Exception => failures += s"$jobId: ${e.getMessage}" }
+      }
+    }
+    ExpireResult(deleted.result(), failures.result())
+  }
+
   private def atomicWrite(table: LakeTable, jobId: String, name: String, body: String): Unit = {
     val dir = jobDir(table, jobId)
     Files.createDirectories(dir)

@@ -12,7 +12,9 @@ import graft.lake.LakeTable
   *   3. expire snapshots beyond the retention window (never the newest
   *      retainLast, never the current);
   *   4. sweep orphaned data files older than the grace age (never files
-  *      referenced by any snapshot or checkpointed in the ledger).
+  *      referenced by any snapshot or checkpointed in the ledger);
+  *   5. sweep ledger dirs of COMMITTED jobs past the grace age (unfinished
+  *      jobs are kept forever — resume depends on them).
   *
   * Idempotent per cycleId: a crashed cycle re-run resumes compaction bins /
   * cluster groups from the ledger and skips phases whose snapshot already
@@ -26,13 +28,15 @@ object Maintenance {
       compact: Compaction.Result,
       cluster: Clustering.Result,
       expire: Expire.Result,
-      orphans: OrphanGc.Result) {
+      orphans: OrphanGc.Result,
+      ledger: Ledger.ExpireResult) {
     def summary: String =
       s"compact: ${compact.bins} bins (${compact.filesCompacted} files); " +
         s"cluster: ${cluster.groups} groups, ${cluster.rowsRewritten} rows; " +
         s"expire: ${expire.expiredSnapshots.size} snapshots, " +
         s"${expire.deletedDataFiles.size} data files; " +
-        s"orphans: ${orphans.deleted.size} swept"
+        s"orphans: ${orphans.deleted.size} swept; " +
+        s"ledger: ${ledger.deletedJobs.size} old job dirs swept"
   }
 
   def runCycle(table: LakeTable, cycleId: String,
@@ -56,6 +60,9 @@ object Maintenance {
     val expired = Expire.expire(table, retainLast = retainLast,
       olderThanMs = retentionMs)
     val orphans = OrphanGc.removeOrphans(table, olderThanMs = orphanGraceMs)
-    CycleReport(compacted, clustered, expired, orphans)
+    // ledger dirs of committed jobs past the grace age: bounded ledger size
+    // (resume/idempotence for a finished job only matters within a cadence)
+    val ledger = Ledger.expireJobs(table, olderThanMs = orphanGraceMs)
+    CycleReport(compacted, clustered, expired, orphans, ledger)
   }
 }

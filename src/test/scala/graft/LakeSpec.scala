@@ -424,6 +424,22 @@ class LakeSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(marker), "fallback must heal the marker")
   }
 
+  test("ledger expiry: committed old job dirs swept, unfinished jobs kept forever") {
+    val t = LakeTable.create(spark, tmpTable("ledger-expiry"), TranscriptSynth.schema)
+    t.append(synth(40).repartition(4), "init")
+    Clustering.cluster(t, "old-cluster") // committed: marker + plan + tasks
+    Ledger.writePlan(t, "unfinished-job", t.currentSnapshotId.get,
+      Vector(Vector("data/x.parquet")), kind = "compact") // no commit marker
+    val future = System.currentTimeMillis() + 60000
+    val res = Ledger.expireJobs(t, olderThanMs = 0, nowMs = future)
+    assert(res.deletedJobs == Vector("old-cluster"), s"got ${res.deletedJobs}")
+    assert(java.nio.file.Files.exists(t.ledgerDir.resolve("unfinished-job/plan.json")),
+      "an uncommitted job's checkpoints must never be swept")
+    // replaying the swept job id is a cheap incremental no-op, not a rerun
+    val replay = Clustering.cluster(t, "old-cluster")
+    assert(replay.rowsRewritten == 0L)
+  }
+
   test("orphan GC sweeps unreferenced metadata (crashed-commit residue)") {
     val t = LakeTable.create(spark, tmpTable("orphan-meta-gc"), TranscriptSynth.schema)
     t.append(synth(10), "first")
