@@ -287,18 +287,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ANN-LSH invariant: plant an id-shifted exact copy of every vector;
-    // a query's copy lands in the same LSH bucket (identical sign pattern)
-    // with cosine exactly at the maximum, so it MUST rank #1 — checkable in
-    // plain SQL without reproducing the hyperplanes.
+    // ANN-LSH recall invariant: plant an id-shifted exact copy of every
+    // vector; a query's copy lands in the same LSH bucket (identical sign
+    // pattern) at the maximum cosine, so it MUST be retrieved into the
+    // top-k — checkable in plain SQL without reproducing the hyperplanes.
+    // Retrieval, not rank #1: if the fixture ever held two identical base
+    // embeddings, the copy would TIE at cosine 1.0 and the cand_id
+    // tie-break would rank the lower base id first — the retrieval form is
+    // the guarantee the operator actually makes, independent of ties.
     "q18b_ann_lsh" -> ((s, d) => {
       val base = t(s, d, "embeddings").where(col("vec_id") < 2000)
         .select(col("vec_id"), col("embedding"))
       val corpus = base.union(
         base.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       VectorOps.lshBucketTopK(corpus, "vec_id", "embedding", 5)
-        .where(col("query_id") < 50 && col("rank") === 1)
-        .select(col("query_id"), col("cand_id").as("top_cand"))
+        .where(col("query_id") < 50 && col("cand_id") === col("query_id") + 10000)
+        .select(col("query_id"), lit(1).as("copy_in_top5"))
         .orderBy("query_id")
     }),
 
@@ -563,9 +567,9 @@ object SparkEntry {
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS group_id
         |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin,
 
-    // the planted exact copy must rank #1 for every query
+    // the planted exact copy must be retrieved into the top-5 for every query
     "q18b_ann_lsh" ->
-      """SELECT vec_id AS query_id, vec_id + 10000 AS top_cand
+      """SELECT vec_id AS query_id, 1 AS copy_in_top5
         |FROM embeddings WHERE vec_id < 50 ORDER BY query_id""".stripMargin,
 
     "q16b_simhash_pairs" ->

@@ -130,7 +130,7 @@ object Dedup {
     // The fingerprint frame (a full-corpus explode + 64-sum groupBy, the
     // operator's dominant cost) feeds FIVE consumers below — persist makes
     // the reuse explicit instead of relying on ReuseExchange surviving AQE
-    // replanning; the ContextCleaner unpersists it once unreferenced.
+    // replanning; released by materializeAndRelease before returning.
     val fp = simhashDf(df, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -164,7 +164,24 @@ object Dedup {
     val within = fp.as("x").join(fp.as("y"),
         col("x.simhash") === col("y.simhash") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), lit(0L).as("hamming"))
-    cross.unionByName(within)
+    materializeAndRelease(cross.unionByName(within), fp)
+  }
+
+  /** Materialize the (cap-bounded, ~linear-size) candidate-pair result into
+    * its own cache and RELEASE the corpus-scale sketch frame deterministically
+    * — relying on the ContextCleaner means the full fingerprint/signature
+    * cache (the largest block a dedup pass creates) stays resident in
+    * executor storage until the driver happens to GC the plan objects, which
+    * across a long session of repeated calls accumulates into spill pressure.
+    * The extra action costs nothing net: callers' first action would compute
+    * the same joins; later actions now hit the pair cache instead of
+    * re-running them.
+    */
+  private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist())
+    out
   }
 
   /** Aggregate-shaped SimHash over a whole frame: explode tokens, vote per
@@ -260,7 +277,8 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("grp").as("group_id"))
+    materializeAndRelease(
+      labels.select(col("id").as(idCol), col("grp").as("group_id")), labels)
   }
 
   /** MinHash-LSH near-duplicate candidate pairs over (idCol, textCol).
@@ -330,6 +348,6 @@ object Dedup {
         col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         lit(bands.toLong).as("n_shared_bands"))
-    cross.unionByName(within)
+    materializeAndRelease(cross.unionByName(within), sig)
   }
 }

@@ -341,33 +341,52 @@ class LakeTable(val root: String, val spark: SparkSession) {
     //
     // CRASH-ORPHAN RECOVERY: if snap-<id>.json exists but the POINTER still
     // sits at our parent, its writer crashed between CREATE_NEW and the
-    // pointer swing (or is microseconds from swinging). Deleting the file
-    // would break the CREATE_NEW CAS; instead we FINISH the interrupted
-    // commit on its behalf — the orphan is fully valid (its data files and
-    // manifests were durable before its snapshot write) — by swinging the
-    // pointer to it, then surface the conflict. The retry then builds on the
-    // adopted snapshot; without this, every retry recomputes id = parent+1,
-    // hits the same orphan, and the table is wedged forever.
+    // pointer swing (or is microseconds from swinging). Two age-gated paths
+    // (age gating is what makes recovery and OrphanGc's sweep RACE-FREE —
+    // neither may touch the same file, see [[OrphanAdoptMaxAgeMs]]):
+    //   - FRESH orphan (age < OrphanAdoptMaxAgeMs) that parses: FINISH the
+    //     interrupted commit on its behalf — it is fully valid (its data
+    //     files and manifests were durable before its snapshot write) — by
+    //     swinging the pointer to it, then surface a retryable conflict.
+    //     The retry builds on the adopted snapshot; without this, every
+    //     retry recomputes id = parent+1, hits the same orphan, and the
+    //     table is wedged forever.
+    //   - STALE orphan (age >= OrphanAdoptMaxAgeMs, parseable or torn): its
+    //     writer is dead (the pointer swing follows the snapshot write
+    //     immediately; an hour-long gap means a crash — the same liveness
+    //     reasoning OrphanGc's grace age rests on). The crashed commit was
+    //     never published, so SUPERSEDE it: delete the file and retry
+    //     CREATE_NEW with our own snapshot. Publishing a crashed commit
+    //     hours later would surface a ghost write its caller was told
+    //     failed.
+    //   - FRESH orphan that does NOT parse: a concurrent writer may be
+    //     mid-write of those very bytes — hands off, retryable conflict
+    //     (once it finishes, the retry adopts; if it crashed, the retry
+    //     supersedes after the age gate).
     val snapPath = metaDir.resolve(s"snap-$id.json")
-    try Files.write(snapPath,
-      MetaJson.write(MetaJson.snapshotToJson(snap)).getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: FileAlreadyExistsException =>
-        // Adoption guards: (a) the orphan must PARSE — a torn half-written
-        // file from a crash mid-write must never become the current
-        // snapshot (readers would brick); unparseable/missing orphans are
-        // left for OrphanGc's grace-aged metadata sweep, and the conflict
-        // stays retryable because once GC removes the file CREATE_NEW
-        // succeeds. (b) the pointer is RE-READ immediately before the move
-        // and the adoption skipped if it advanced — narrows the
-        // check-then-move window so a stalled adopter cannot roll the
-        // pointer back over a newer commit (full CAS would need a locking
-        // primitive plain filesystems lack; the residual window is the
-        // nanoseconds between re-read and rename, vs seconds-long commits).
-        val orphanOk =
-          try { snapshot(id); true } catch { case _: Exception => false }
-        if (orphanOk && currentSnapshotId == parent.map(_.id)) {
+    val body = MetaJson.write(MetaJson.snapshotToJson(snap)).getBytes(StandardCharsets.UTF_8)
+    def tryCreateNew(): Boolean =
+      try { Files.write(snapPath, body, StandardOpenOption.CREATE_NEW); true }
+      catch { case _: FileAlreadyExistsException => false }
+    if (!tryCreateNew()) {
+      val ageMs =
+        try System.currentTimeMillis() - Files.getLastModifiedTime(snapPath).toMillis
+        catch { case _: Exception => 0L } // vanished: treat as fresh, conflict below
+      val orphanOk =
+        try { snapshot(id); true } catch { case _: Exception => false }
+      val pointerAtParent = currentSnapshotId == parent.map(_.id)
+      val superseded = pointerAtParent && ageMs >= OrphanAdoptMaxAgeMs && {
+        try Files.deleteIfExists(snapPath) catch { case _: Exception => () }
+        tryCreateNew()
+      }
+      if (!superseded) {
+        // The pointer is RE-READ immediately before the move and the
+        // adoption skipped if it advanced — narrows the check-then-move
+        // window so a stalled adopter cannot roll the pointer back over a
+        // newer commit (full CAS would need a locking primitive plain
+        // filesystems lack; the residual window is the nanoseconds between
+        // re-read and rename, vs seconds-long commits).
+        if (orphanOk && ageMs < OrphanAdoptMaxAgeMs && currentSnapshotId == parent.map(_.id)) {
           val tmpA = metaDir.resolve(s"version-hint.adopt-$id")
           writeString(tmpA, id.toString)
           Files.move(tmpA, metaDir.resolve("version-hint.txt"),
@@ -379,6 +398,7 @@ class LakeTable(val root: String, val spark: SparkSession) {
         throw new CommitConflictException(
           s"snapshot $id already committed by a concurrent writer (table $root); " +
             "re-read the table and retry the operation")
+      }
     }
 
     // Atomic pointer swing — the only mutation in the whole protocol.
@@ -392,6 +412,16 @@ class LakeTable(val root: String, val spark: SparkSession) {
 
 object LakeTable {
   val DefaultEntriesPerManifest = 1000
+
+  /** Age gate splitting crash-orphan snap files between the two mechanisms
+    * that may touch them, so they can never race on the same file:
+    * commit-time recovery ADOPTS only orphans YOUNGER than this (and
+    * supersedes older ones itself), while OrphanGc's metadata sweep deletes
+    * only orphans older than TWICE this (see `removeOrphans.adoptGuardMs`).
+    * An adopter would have to stall longer than this between its age check
+    * and its pointer rename for the two to overlap.
+    */
+  val OrphanAdoptMaxAgeMs: Long = 60L * 60 * 1000
 
   /** A data file plus the manifest it currently lives in. */
   final case class FileEntry(manifest: String, file: DataFile)

@@ -35,7 +35,10 @@ object Typed {
   def snapshotsDf(table: LakeTable): DataFrame = {
     val spark = table.spark
     import spark.implicits._
-    table.allSnapshots.map { s =>
+    // committedSnapshots, not allSnapshots: a crashed commit's orphan snap
+    // file (id beyond the pointer, possibly torn mid-write) must neither
+    // appear in a user-facing listing nor break it with a parse error.
+    table.committedSnapshots.map { s =>
       (s.id, s.parentId, s.sequence, s.timestampMs, s.operation,
         s.manifestPaths.size,
         s.summary.getOrElse("total_files", "0").toLong,

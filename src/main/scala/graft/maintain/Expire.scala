@@ -116,11 +116,15 @@ object Expire {
   * Sweep ORDER matters: metadata first. An orphan snap-*.json beyond the
   * version pointer (a crashed commit that was never adopted — see
   * [[graft.lake.LakeTable]]'s crash-orphan recovery) is deleted once past
-  * the grace age; only THEN do its manifests and data files become
-  * unreferenced and sweepable. The grace age is the no-adoption-race
-  * guarantee: adoption happens on the very next commit attempt, so an
-  * orphan still unadopted after the grace period has no writer coming back
-  * for it.
+  * BOTH the grace age and `adoptGuardMs`; only THEN do its manifests and
+  * data files become unreferenced and sweepable. `adoptGuardMs` (default
+  * 2 x [[graft.lake.LakeTable.OrphanAdoptMaxAgeMs]]) is the no-adoption-race
+  * guarantee: commit-time recovery only ADOPTS orphans younger than half
+  * this bound (and supersedes older ones itself), so by the time this sweep
+  * may delete an orphan snap, no adopter can still be about to swing the
+  * pointer to it — deleting the file out from under an in-flight adoption
+  * would leave the pointer referencing a missing snapshot, bricking the
+  * table. Tests pass 0 to simulate a post-grace sweep directly.
   */
 object OrphanGc {
 
@@ -129,7 +133,8 @@ object OrphanGc {
 
   def removeOrphans(table: LakeTable,
                     olderThanMs: Long,
-                    nowMs: Long = System.currentTimeMillis()): Result = {
+                    nowMs: Long = System.currentTimeMillis(),
+                    adoptGuardMs: Long = 2 * LakeTable.OrphanAdoptMaxAgeMs): Result = {
     val deleted = Vector.newBuilder[String]
     val deletedMeta = Vector.newBuilder[String]
     val failures = Vector.newBuilder[String]
@@ -138,11 +143,14 @@ object OrphanGc {
       Files.getLastModifiedTime(p).toMillis < nowMs - olderThanMs
 
     // ---- metadata sweep --------------------------------------------------
-    // 1. orphan snapshots: snap files beyond the pointer, past grace
+    // 1. orphan snapshots: snap files beyond the pointer, past grace AND
+    // past the adoption guard (see the object docstring)
     val pointer = table.currentSnapshotId.getOrElse(-1L)
+    def pastAdoptGuard(p: java.nio.file.Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < nowMs - adoptGuardMs
     table.allSnapshotIds.filter(_ > pointer).foreach { id =>
       val p = metaDir.resolve(s"snap-$id.json")
-      try if (Files.exists(p) && oldEnough(p)) {
+      try if (Files.exists(p) && oldEnough(p) && pastAdoptGuard(p)) {
         Files.deleteIfExists(p); deletedMeta += s"snap-$id.json"
       } catch { case e: Exception => failures += s"snap-$id.json: ${e.getMessage}" }
     }

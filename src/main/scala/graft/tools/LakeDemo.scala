@@ -74,7 +74,7 @@ object LakeDemo {
     ManifestRewrite.rewrite(t, entriesPerManifest = 5)
     val ex = Expire.expire(t, retainLast = 1)
     println(s"[lake] expired snapshots=${ex.expiredSnapshots.mkString(",")} deletedData=${ex.deletedDataFiles.size} failures=${ex.failures.size}")
-    println(s"[lake] final snapshots=${t.allSnapshots.map(s => s.id + ":" + s.operation).mkString(" ")}")
+    println(s"[lake] final snapshots=${t.committedSnapshots.map(s => s.id + ":" + s.operation).mkString(" ")}")
     println(s"[lake] final rows=${t.scan().df.count()}")
 
     // Physical plan sanity: pruned scan should read only selected files and

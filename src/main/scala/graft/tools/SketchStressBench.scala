@@ -26,7 +26,11 @@ import graft.functions.{Dedup, VectorOps}
 object SketchStressBench {
 
   def synthDocs(spark: SparkSession, n: Long): DataFrame = {
-    val seed = when(pmod(col("id"), lit(20)) === 19, col("id") - 1)
+    // ==19 seeds from id-2 (doc 17's seed, an `otherwise` doc) -> EXACT
+    // duplicate of doc 17. ==18 seeds from id-2 as well (doc 16) but appends
+    // a token -> NEAR duplicate of doc 16. Seeding ==19 from id-1 would
+    // chain through the near-dup's shifted seed and produce no exact copy.
+    val seed = when(pmod(col("id"), lit(20)) === 19, col("id") - 2)
       .when(pmod(col("id"), lit(20)) === 18, col("id") - 2)
       .otherwise(col("id"))
     val len = (lit(30) + pmod(xxhash64(seed, lit(-1)), lit(120))).cast("int")

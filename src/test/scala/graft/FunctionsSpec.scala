@@ -214,9 +214,19 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"alpha beta gamma token$i")).toDF("doc_id", "text")
     val vecs = (1L to 8L).map(i => (i, Seq(1f, i.toFloat, 3f))).toDF("id", "v")
+    // candidate-pair frames come back cached (materializeAndRelease), so the
+    // real join pipeline hides behind InMemoryTableScan — recurse into the
+    // cached plan or the assertion would pass vacuously
+    def planText(p: org.apache.spark.sql.execution.SparkPlan): String = {
+      val nested = p.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          planText(s.relation.cachedPlan)
+      }
+      (p.toString +: nested).mkString("\n")
+    }
     def windows(df: org.apache.spark.sql.DataFrame): Int =
       "(?m)^\\s*[+:*-]*\\s*Window ".r
-        .findAllIn(df.queryExecution.executedPlan.toString).length
+        .findAllIn(planText(df.queryExecution.executedPlan)).length
     assert(windows(Dedup.simhashCandidatePairs(docs, "doc_id", "text")) == 0)
     assert(windows(Dedup.minhashCandidatePairs(docs, "doc_id", "text")) == 0)
     assert(windows(Dedup.jaccardCandidatePairs(docs, "doc_id", "text")) == 0)

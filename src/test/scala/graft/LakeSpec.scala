@@ -379,6 +379,31 @@ class LakeSpec extends AnyFunSuite {
     assert(t.scan().df.count() == rows2 + extra.count())
   }
 
+  test("stale orphan snapshot: superseded by the next writer, not adopted") {
+    val t = LakeTable.create(spark, tmpTable("orphan-stale"), TranscriptSynth.schema)
+    t.append(synth(10), "first")
+    t.append(synth(10).withColumn("conv_id", concat(lit("x"), col("conv_id"))), "second")
+    val committed = t.currentSnapshotId.get
+    val hint = java.nio.file.Paths.get(t.root, "metadata", "version-hint.txt")
+    java.nio.file.Files.writeString(hint, (committed - 1).toString)
+    // age the orphan past OrphanAdoptMaxAgeMs: its writer is long dead, and
+    // adopting a crashed commit hours later would publish a ghost write —
+    // the next commit must take the id for itself instead
+    val orphan = java.nio.file.Paths.get(t.root, "metadata", s"snap-$committed.json")
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * LakeTable.OrphanAdoptMaxAgeMs))
+    val rows1 = t.scan().df.count() // pointer at committed-1
+    val extra = synth(7).withColumn("conv_id", concat(lit("y"), col("conv_id")))
+    val snap = t.append(extra, "third") // no conflict: supersede + commit
+    assert(snap.id == committed, "the superseding commit reuses the orphan's id")
+    assert(t.currentSnapshotId.contains(committed))
+    assert(t.currentSnapshot.get.summary.get("append_tag").contains("third"),
+      "the orphan's content must be replaced by the new writer's snapshot")
+    assert(t.scan().df.count() == rows1 + extra.count(),
+      "the dead writer's rows must NOT appear")
+  }
+
   test("torn orphan snapshot: never adopted, maintenance unharmed, GC sweeps it") {
     val t = LakeTable.create(spark, tmpTable("orphan-torn"), TranscriptSynth.schema)
     t.append(synth(10), "first")
@@ -395,9 +420,10 @@ class LakeSpec extends AnyFunSuite {
     assert(t.scan().df.count() > 0, "table stays readable")
 
     // expiry and GC tolerate the torn file; GC sweeps it past the grace age
+    // (adoptGuardMs = 0: simulate the post-grace sweep directly)
     Expire.expire(t, retainLast = 1)
     val res = OrphanGc.removeOrphans(t, olderThanMs = 0,
-      nowMs = System.currentTimeMillis() + 60000)
+      nowMs = System.currentTimeMillis() + 60000, adoptGuardMs = 0)
     assert(res.deletedMeta.contains(s"snap-${committed + 1}.json"))
     // with the residue gone, the retry commits cleanly
     val snap = t.append(extra, "second-retry")
@@ -455,7 +481,7 @@ class LakeSpec extends AnyFunSuite {
       java.nio.file.Paths.get(t.root, "metadata", "version-hint.tmp-99"), "99")
 
     val res = OrphanGc.removeOrphans(t, olderThanMs = 0,
-      nowMs = System.currentTimeMillis() + 60000)
+      nowMs = System.currentTimeMillis() + 60000, adoptGuardMs = 0)
     assert(res.deletedMeta.contains(s"snap-$orphanId.json"))
     assert(res.deletedMeta.contains("version-hint.tmp-99"))
     assert(res.deletedMeta.exists(_.startsWith("manifest-")),
