@@ -306,6 +306,21 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVF ANN (data-adapted cells, the second scale path beside LSH): same
+    // planted-copy recall invariant — an exact duplicate assigns to the same
+    // nearest centroid as its query, so any nProbe >= 1 probes it and it
+    // must be retrieved into the top-5.
+    "q32_ann_ivf" -> ((s, d) => {
+      val base = t(s, d, "embeddings").where(col("vec_id") < 2000)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.union(
+        base.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      VectorOps.ivfTopK(corpus, "vec_id", "embedding", 5, nLists = 64, nProbe = 4)
+        .where(col("query_id") < 50 && col("cand_id") === col("query_id") + 10000)
+        .select(col("query_id"), lit(1).as("copy_in_top5"))
+        .orderBy("query_id")
+    }),
+
     // --- the lakehouse maintenance engine (fixture: load -> compact ->
     // cluster -> MERGE error-corrections -> cluster; see LakeFixtures) ---
     "q19_lake_scan" -> ((s, d) => {
@@ -569,6 +584,10 @@ object SparkEntry {
 
     // the planted exact copy must be retrieved into the top-5 for every query
     "q18b_ann_lsh" ->
+      """SELECT vec_id AS query_id, 1 AS copy_in_top5
+        |FROM embeddings WHERE vec_id < 50 ORDER BY query_id""".stripMargin,
+
+    "q32_ann_ivf" ->
       """SELECT vec_id AS query_id, 1 AS copy_in_top5
         |FROM embeddings WHERE vec_id < 50 ORDER BY query_id""".stripMargin,
 

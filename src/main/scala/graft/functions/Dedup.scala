@@ -177,7 +177,7 @@ object Dedup {
     * the same joins; later actions now hit the pair cache instead of
     * re-running them.
     */
-  private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+  private[functions] def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     intermediates.foreach(_.unpersist())

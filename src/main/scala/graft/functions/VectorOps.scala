@@ -96,4 +96,114 @@ object VectorOps {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path next to
+    * [[lshBucketTopK]], trading LSH's data-independent buckets for
+    * data-ADAPTED cells: `nLists` coarse centroids are seeded from a
+    * deterministic hash-ordered sample, optionally refined by `refineIters`
+    * Lloyd steps (assign all vectors to their nearest centroid, recompute
+    * each cell's mean — every step plain joins + map-side-combinable
+    * aggregations), and each vector lands in exactly ONE inverted list.
+    * A query probes its `nProbe` nearest cells and scores only those lists:
+    * per-query work is nLists centroid distances + ~nProbe/nLists of the
+    * corpus, against LSH's recall cliff when fixed hyperplanes misfit the
+    * data distribution.
+    *
+    * Scale shape: the centroid table (nLists rows) BROADCASTS to the
+    * assignment join — the only corpus-wide pass — and the probe join
+    * shuffles on cell id. `maxList` caps a degenerate cell (all-identical
+    * embeddings collapsing into one list) by deterministic down-sampling,
+    * exactly as lshBucketTopK caps its buckets; sizes come from groupBy
+    * (map-side partial agg), never a Window over the hot cell.
+    *
+    * Recall floor independent of centroid quality: a query's exact
+    * duplicate assigns to the SAME nearest cell (assignment depends only on
+    * the vector value and the shared centroid set), so with any nProbe >= 1
+    * a planted copy is always probed.
+    *
+    * Returns (query_id, cand_id, cos, rank) like [[lshBucketTopK]].
+    */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int = 64, nProbe: Int = 4,
+      refineIters: Int = 1, maxList: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.FloatType
+    // norms computed ONCE per row (and once per centroid) — cosine against
+    // every centroid then costs one dot product per pair instead of
+    // re-deriving both norms inside each of the corpus x nLists pairs
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def withCentNorm(c: DataFrame): DataFrame =
+      c.select(col("cell"), col("cv"), norm(col("cv")).as("ncv"))
+    def pairCos: Column =
+      when(col("nv") === 0.0 || col("ncv") === 0.0, lit(0.0))
+        .otherwise(dot(col("v"), col("cv")) / (col("nv") * col("ncv")))
+
+    // deterministic seed centroids: the nLists vectors of smallest
+    // xxhash64(id) — RNG-free sampling; the Window runs over nLists rows
+    val seeds = base.select(col("v").as("cv"), xxhash64(col("id")).as("__h"))
+      .orderBy("__h").limit(nLists)
+    var centroids = withCentNorm(seeds
+      .withColumn("cell", row_number().over(Window.orderBy("__h")))
+      .drop("__h"))
+
+    // all corpus x centroid scores (the broadcast assignment pass)
+    def scoreAll(cents: DataFrame): DataFrame =
+      base.crossJoin(broadcast(cents))
+        .select(col("id"), col("v"), col("nv"), col("cell"), pairCos.as("ccos"))
+
+    // Lloyd refinement: assign every vector to its nearest cell (max_by —
+    // no per-id Window), then move each cell to the mean of its members,
+    // per-dimension (posexplode -> avg -> re-assemble ordered by dimension
+    // index); cells that lose every member simply disappear.
+    for (_ <- 1 to refineIters) {
+      centroids = withCentNorm(scoreAll(centroids)
+        .groupBy("id")
+        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+          first(col("v")).as("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+        .select(col("cell"),
+          transform(col("sm"), s => s.getField("m").cast(FloatType)).as("cv")))
+    }
+
+    // ONE final scoring pass serves both sides: the argmax row per id is
+    // its inverted-list assignment, the top-nProbe rows are its probes
+    val scored = scoreAll(centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // inverted lists, degenerate cells down-sampled to ~maxList (list-side
+    // only: every query keeps its answer, the join stays queries x maxList)
+    val lists0 = scored.groupBy("id")
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+        first(col("v")).as("v"), first(col("nv")).as("nv"))
+    val heavy = lists0.groupBy("cell").agg(count(lit(1)).as("__cn"))
+      .where(col("__cn") > maxList)
+    val lists = lists0.join(heavy, Seq("cell"), "left_outer")
+      .where(col("__cn").isNull ||
+        pmod(xxhash64(col("id")),
+          ceil(col("__cn").cast("double") / maxList).cast("long")) === 0)
+      .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"),
+        col("nv").as("ncv"))
+
+    // probe: every row queries its nProbe nearest cells (per-query Window
+    // over nLists centroid scores — bounded, not a hot key)
+    val probed = scored
+      .withColumn("__pr", row_number().over(Window.partitionBy("id")
+        .orderBy(col("ccos").desc, col("cell").asc)))
+      .where(col("__pr") <= nProbe)
+      .select(col("id").as("query_id"), col("v"), col("nv"), col("cell"))
+
+    val pairs = probed.join(lists, Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id").as("cand_id"), pairCos.as("cos"))
+      .distinct() // a pair can meet through at most one cell, but be safe
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    val out = pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    Dedup.materializeAndRelease(out, base, scored)
+  }
 }

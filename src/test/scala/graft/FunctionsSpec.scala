@@ -315,4 +315,47 @@ class VectorOpsSpec extends AnyFunSuite {
       .select("query_id").as[Long].collect().sorted.toSeq
     assert(q1 == q2, "down-sampling is deterministic")
   }
+
+  test("ivfTopK: planted copies always retrieved; clustered top-1 matches brute force") {
+    import spark.implicits._
+    // three well-separated clusters with deterministic jitter
+    def jit(i: Long, j: Int): Float = ((i * 31 + j * 7) % 10) / 100f
+    val base = (1L to 30L).map { i =>
+      val axis = (i % 3).toInt
+      val v = (0 until 4).map(j => (if (j == axis) 10f else 0f) + jit(i, j))
+      (i, v)
+    }
+    // ids 1..10 get an exact copy at id+100: any nProbe >= 1 must probe the
+    // copy's cell (same vector -> same nearest centroid), so recall of the
+    // planted copy is unconditional whatever the centroids converged to
+    val corpus = (base ++ base.take(10).map { case (i, v) => (i + 100, v) })
+      .toDF("id", "v")
+    val ivf = VectorOps.ivfTopK(corpus, "id", "v", k = 3, nLists = 5, nProbe = 2)
+    val byQuery = ivf.select("query_id", "cand_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (1L to 10L).foreach { i =>
+      assert(byQuery(i).contains(i + 100), s"query $i must retrieve its copy")
+    }
+    // cluster-local nearest neighbors: IVF top-1 equals brute-force top-1
+    // for nearly all queries (nProbe=2 of 5 cells covers the home cluster)
+    val brute = VectorOps.bruteForceTopK(corpus, corpus, "id", "v", 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val top1 = ivf.where(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val agree = top1.count { case (q, c) => brute(q) == c }
+    assert(agree >= (top1.size * 0.8).toInt,
+      s"IVF top-1 agrees with brute force on $agree/${top1.size} queries")
+    // degenerate cell: identical vectors collapse into one list; maxList
+    // down-samples the LIST (bounding the join to queries x maxList, linear)
+    // while every query still gets an answer — unlike a query-side cap,
+    // no row silently loses its top-k
+    val same = (1L to 50L).map(i => (i, Seq(1f, 2f, 3f, 4f))).toDF("id", "v")
+    val capped = VectorOps.ivfTopK(same, "id", "v", k = 2, nLists = 3,
+      nProbe = 1, maxList = 5)
+    val queries = capped.select("query_id").distinct().count()
+    val cands = capped.select("cand_id").distinct().as[Long].collect()
+    assert(queries == 50, "every query keeps an answer under the cap")
+    assert(cands.nonEmpty && cands.length < 50,
+      s"maxList must shrink the degenerate cell's list; kept ${cands.length}")
+  }
 }
