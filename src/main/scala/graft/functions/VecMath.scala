@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Tight-loop vector kernels called from generated code (one static call per
+  * row — see [[org.apache.spark.sql.graftx.DotF32]]). Operating directly on
+  * Catalyst's ArrayData avoids the per-ELEMENT boxing and array allocation a
+  * `zip_with`/`aggregate` higher-order-function chain pays: those lambdas are
+  * interpreted per element, which at corpus x centroid fan-out (the IVF
+  * assignment pass computes n x nLists dots) dominated the ANN runtime.
+  *
+  * Null semantics mirror the HOF formulation they replace: mismatched
+  * lengths or a null element yield null (zip_with pads with null, and
+  * null poisons the aggregate fold); two empty arrays dot to 0.0.
+  */
+object VecMath {
+
+  def dotF32(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Random-hyperplane LSH bucket id: plane j's sign for dimension i is
+    * derived from the SAME xxhash64 chain the Column formulation used
+    * (`xxhash64(i, j)` = XXH64.hashInt(i, seed=42) re-seeded with j), so
+    * buckets are bit-identical to the `zip_with`/`aggregate` version this
+    * replaces. Exact legacy null/empty semantics: a null element nulls every
+    * projection, whose `when(proj >= 0, bit).otherwise(0)` collapsed to
+    * bucket 0; an empty vector projects 0.0 >= 0 on every plane (all bits).
+    */
+  def lshBucketF32(v: ArrayData, nPlanes: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var proj = 0.0
+      var anyNull = false
+      var i = 0
+      while (i < n && !anyNull) {
+        if (v.isNullAt(i)) anyNull = true
+        else {
+          val h = XXH64.hashInt(j, XXH64.hashInt(i, 42L))
+          val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+          proj += v.getFloat(i).toDouble * sign
+          i += 1
+        }
+      }
+      if (!anyNull && proj >= 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+}

@@ -5,13 +5,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 /** Embedding-similarity primitives: cosine / dot product over
-  * `array<float>` columns, brute-force top-k, and an LSH-bucketed
-  * approximate variant for the 100 TB scale path. Pure `zip_with` /
-  * `aggregate` compositions — no UDFs.
+  * `array<float>` columns, brute-force top-k, and two approximate variants
+  * for the 100 TB scale path (LSH buckets, IVF cells). The dot product is a
+  * native codegen'd Catalyst expression ([[org.apache.spark.sql.graftx.DotF32]]);
+  * everything else is built-in `Column` composition — no UDFs.
   */
 object VectorOps {
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftx.{Bridge, DotF32}
+    Bridge.toColumn(DotF32(Bridge.toExpression(a), Bridge.toExpression(b)))
+  }
+
+  /** The pre-DotF32 formulation, kept as the cross-check reference for the
+    * codegen parity test: interpreted per-element lambdas, same null
+    * semantics.
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -47,8 +57,19 @@ object VectorOps {
   private def planeSign(i: Column, j: Int): Column =
     when(pmod(xxhash64(i, lit(j)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Random-hyperplane LSH bucket id (nPlanes sign bits) for a vector. */
+  /** Random-hyperplane LSH bucket id (nPlanes sign bits) for a vector —
+    * native codegen'd expression ([[org.apache.spark.sql.graftx.LshBucketF32]]),
+    * bit-identical to [[lshBucketHof]].
+    */
   def lshBucket(vec: Column, nPlanes: Int): Column = {
+    import org.apache.spark.sql.graftx.{Bridge, LshBucketF32}
+    Bridge.toColumn(LshBucketF32(Bridge.toExpression(vec), nPlanes))
+  }
+
+  /** The pre-LshBucketF32 Column formulation, kept as the parity-test
+    * reference (nPlanes interpreted aggregate/zip_with passes per row).
+    */
+  private[graft] def lshBucketHof(vec: Column, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { j =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -78,26 +78,35 @@ object SketchStressBench {
       val (ann, tAnn) = timed(
         VectorOps.lshBucketTopK(vecs, "vec_id", "embedding", 5,
           nPlanes = planes, maxBucket = 2000).count())
+      // IVF's knob is nLists ~ sqrt(n): expected list size ~ sqrt(n), so
+      // probe work (nProbe lists) and assignment work (nLists distances)
+      // both grow as sqrt(n) per query — the balanced operating point.
+      val nLists = math.max(16, math.sqrt(n.toDouble).round.toInt)
+      val (ivf, tIvf) = timed(
+        VectorOps.ivfTopK(vecs, "vec_id", "embedding", 5,
+          nLists = nLists, nProbe = 4, maxList = 2000).count())
       docs.unpersist(); vecs.unpersist()
       println(s"""{"n":$n,"minhash_pairs":$mh,"minhash_sec":$tMh,""" +
         s""""simhash_pairs":$sh,"simhash_sec":$tSh,"ann_planes":$planes,""" +
-        s""""ann_rows":$ann,"ann_sec":$tAnn}""")
-      (n, mh, tMh, sh, tSh, ann, tAnn)
+        s""""ann_rows":$ann,"ann_sec":$tAnn,"ivf_lists":$nLists,""" +
+        s""""ivf_rows":$ivf,"ivf_sec":$tIvf}""")
+      (n, mh, tMh, sh, tSh, ann, tAnn, ivf, tIvf)
     }
 
     val md = new StringBuilder
     md.append(s"\n## Sketch-suite stress (${java.time.Instant.now()}, " +
       "deterministic synth corpus, 1x/3x/10x)\n\n")
-    md.append("| docs | minhash pairs | sec | simhash pairs | sec | ann top-k rows (planes scaled) | sec |\n")
-    md.append("|---|---|---|---|---|---|---|\n")
-    rows.foreach { case (n, mh, tMh, sh, tSh, ann, tAnn) =>
-      md.append(f"| $n | $mh | $tMh%.1f | $sh | $tSh%.1f | $ann | $tAnn%.1f |\n")
+    md.append("| docs | minhash pairs | sec | simhash pairs | sec | ann top-k rows (planes scaled) | sec | ivf rows (lists ~ sqrt n) | sec |\n")
+    md.append("|---|---|---|---|---|---|---|---|---|\n")
+    rows.foreach { case (n, mh, tMh, sh, tSh, ann, tAnn, ivf, tIvf) =>
+      md.append(f"| $n | $mh | $tMh%.1f | $sh | $tSh%.1f | $ann | $tAnn%.1f | $ivf | $tIvf%.1f |\n")
     }
     val base = rows.head
     val last = rows.last
     val scale = last._1.toDouble / base._1
     md.append(f"\nCorpus x$scale%.0f -> minhash pairs x${last._2.toDouble / base._2}%.1f, " +
-      f"simhash pairs x${last._4.toDouble / base._4}%.1f, ann rows x${last._6.toDouble / base._6}%.1f " +
+      f"simhash pairs x${last._4.toDouble / base._4}%.1f, ann rows x${last._6.toDouble / base._6}%.1f, " +
+      f"ivf rows x${last._8.toDouble / base._8}%.1f " +
       "(linear = the caps + distinct-fingerprint banding bound the join fan-out; " +
       "each scale step carries the same 5% exact-dup / 5% near-dup mix).\n")
     val benchMd = Paths.get("BENCH.md")

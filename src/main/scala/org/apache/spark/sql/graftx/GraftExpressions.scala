@@ -6,10 +6,11 @@
 package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
@@ -103,6 +104,70 @@ case class Hilbert64(left: Expression, right: Expression, order: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Hilbert64 =
     copy(left = newLeft, right = newRight)
+}
+
+/** `dot_f32(a, b)` — native dot product of two `array<float>` columns as a
+  * double. The `aggregate(zip_with(...))` formulation it replaces runs
+  * interpreted higher-order lambdas PER ELEMENT (boxing every float and
+  * allocating the zipped array per row); this emits one static call to a
+  * tight primitive loop over ArrayData, keeping similarity scoring inside
+  * whole-stage codegen — the ANN paths compute corpus x centroid /
+  * bucket-pair dots, where the per-element interpreter tax dominated.
+  * Null semantics match the old chain: length mismatch or a null element
+  * gives null; empty arrays give 0.0.
+  */
+case class DotF32(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VecMath.dotF32(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.VecMath.dotF32($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `lsh_bucket_f32(v, nPlanes)` — random-hyperplane LSH bucket id of an
+  * `array<float>` vector: nPlanes sign bits, plane signs derived from the
+  * same xxhash64 chain as the Column formulation it replaces (bit-identical
+  * buckets), computed in one primitive loop instead of nPlanes interpreted
+  * `aggregate(zip_with(...))` passes per row.
+  */
+case class LshBucketF32(child: Expression, nPlanes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket_f32"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.VecMath.lshBucketF32(v.asInstanceOf[ArrayData], nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VecMath.lshBucketF32($v, $nPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketF32 =
+    copy(child = newChild)
 }
 
 /** `bucket_by_cuts(v, cuts)` — quantile bucketing: returns the index of the

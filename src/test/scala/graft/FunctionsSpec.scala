@@ -274,6 +274,50 @@ class DedupSpec extends AnyFunSuite {
 class VectorOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("dot_f32 codegen expression matches the higher-order-function reference") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),       // plain
+      (Seq(0.5f, -0.5f), Seq(-2f, 2f)),          // negatives
+      (Seq.empty[Float], Seq.empty[Float])).toDF("a", "b") // empty -> 0.0
+    val native = df.select(VectorOps.dot(col("a"), col("b"))).as[Double].collect()
+    val hof = df.select(VectorOps.dotHof(col("a"), col("b"))).as[Double].collect()
+    assert(native.toSeq == hof.toSeq && native(0) == 32.0 && native(2) == 0.0)
+    // length mismatch -> null in BOTH formulations
+    val mm = Seq((Seq(1f, 2f), Seq(1f))).toDF("a", "b")
+    assert(mm.select(VectorOps.dot(col("a"), col("b"))).collect().head.isNullAt(0))
+    assert(mm.select(VectorOps.dotHof(col("a"), col("b"))).collect().head.isNullAt(0))
+    // interpreted path (no codegen) agrees with the codegen path
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(VectorOps.dot(col("a"), col("b"))).as[Double].collect()
+      assert(interp.toSeq == native.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
+  }
+
+  test("lsh_bucket_f32 buckets are bit-identical to the HOF reference") {
+    import spark.implicits._
+    def jv(i: Long, j: Int): Float = (((i * 37 + j * 11) % 19) - 9) / 5f
+    val vecs = (1L to 40L).map(i => Tuple1((0 until 8).map(j => jv(i, j))))
+      .toDF("v")
+    for (planes <- Seq(4, 8, 12)) {
+      val native = vecs.select(VectorOps.lshBucket(col("v"), planes))
+        .as[Long].collect().toSeq
+      val hof = vecs.select(VectorOps.lshBucketHof(col("v"), planes))
+        .as[Long].collect().toSeq
+      assert(native == hof, s"bucket mismatch at $planes planes")
+    }
+    // legacy edge: an EMPTY vector projects 0.0 >= 0 on every plane
+    val empty = Seq(Tuple1(Seq.empty[Float])).toDF("v")
+    assert(empty.select(VectorOps.lshBucket(col("v"), 6)).as[Long].head() == 63L)
+  }
+
   test("cosine: orthogonal=0, identical=1") {
     import spark.implicits._
     val df = Seq(
