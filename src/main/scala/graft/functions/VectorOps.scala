@@ -219,10 +219,13 @@ object VectorOps {
       .where(col("__pr") <= nProbe)
       .select(col("id").as("query_id"), col("v"), col("nv"), col("cell"))
 
+    // no dedup needed: a candidate lives in exactly ONE cell (argmax
+    // assignment), so a (query, cand) pair arises through at most one of
+    // the query's probed cells — a distinct() here would shuffle the whole
+    // ~nProbe x n^1.5 scored intermediate a second time for nothing
     val pairs = probed.join(lists, Seq("cell"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id").as("cand_id"), pairCos.as("cos"))
-      .distinct() // a pair can meet through at most one cell, but be safe
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     val out = pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
     Dedup.materializeAndRelease(out, base, scored)
