@@ -176,6 +176,13 @@ object Dedup {
     * The extra action costs nothing net: callers' first action would compute
     * the same joins; later actions now hit the pair cache instead of
     * re-running them.
+    *
+    * CALLER CONTRACT: the RETURNED frame is the one remaining cached handle
+    * (orders of magnitude smaller than the released sketch frames, but not
+    * free) — a caller running many dedup passes in one session should
+    * `.unpersist()` each result once done with it. The trade is deliberate:
+    * the releasable thing is the small output, never the corpus-scale
+    * intermediate.
     */
   private[functions] def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -15,14 +15,24 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VecMath {
 
-  def dotF32(a: ArrayData, b: ArrayData): java.lang.Double = {
+  /** Dot product with per-side element width chosen by codegen-constant
+    * flags (JIT specializes each call site): `array<double>` inputs keep
+    * their full 52-bit mantissa instead of being implicitly cast down to
+    * float — the HOF formulation this kernel replaces computed in double
+    * throughout, and a silent float round-trip would change results for
+    * double-typed callers.
+    */
+  def dotMixed(a: ArrayData, b: ArrayData,
+               aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
       i += 1
     }
     java.lang.Double.valueOf(s)
@@ -32,13 +42,16 @@ object VecMath {
     * derived from the SAME xxhash64 chain the Column formulation used
     * (`xxhash64(i, j)` = XXH64.hashInt(i, seed=42) re-seeded with j), so
     * buckets are bit-identical to the `zip_with`/`aggregate` version this
-    * replaces. Exact legacy null/empty semantics: a null element nulls every
+    * replaces — INCLUDING the degenerate inputs: a null element nulls every
     * projection, whose `when(proj >= 0, bit).otherwise(0)` collapsed to
-    * bucket 0; an empty vector projects 0.0 >= 0 on every plane (all bits).
+    * bucket 0, and an EMPTY vector also lands in bucket 0 (legacy
+    * `sequence(0, size-1)` on size 0 produced [0, -1], whose null-padded
+    * zip poisoned every projection — not an all-bits 0.0 projection).
     */
   def lshBucketF32(v: ArrayData, nPlanes: Int): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val n = v.numElements()
+    if (n == 0) return 0L
     var bucket = 0L
     var j = 0
     while (j < nPlanes) {

@@ -59,11 +59,13 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucket id (nPlanes sign bits) for a vector —
     * native codegen'd expression ([[org.apache.spark.sql.graftx.LshBucketF32]]),
-    * bit-identical to [[lshBucketHof]].
+    * bit-identical to [[lshBucketHof]] (the coalesce reproduces its NULL-vector
+    * behavior: a null array bucketed to 0, not dropped from bucket joins).
     */
   def lshBucket(vec: Column, nPlanes: Int): Column = {
     import org.apache.spark.sql.graftx.{Bridge, LshBucketF32}
-    Bridge.toColumn(LshBucketF32(Bridge.toExpression(vec), nPlanes))
+    coalesce(
+      Bridge.toColumn(LshBucketF32(Bridge.toExpression(vec), nPlanes)), lit(0L))
   }
 
   /** The pre-LshBucketF32 Column formulation, kept as the parity-test
@@ -93,22 +95,32 @@ object VectorOps {
     * row_number-over-Window cap would first collect the degenerate bucket's
     * every member on one task, the exact stall the cap exists to prevent.
     */
+  /** Deterministically down-sample rows of keys held by more than `maxN`
+    * rows to ~maxN (keep iff xxhash64(id) = 0 mod ceil(n/maxN)) — the
+    * degenerate-key cap shared by the LSH and IVF candidate paths. Sizes
+    * come from groupBy (map-side partial aggregation); no forced broadcast
+    * hint on the heavy-key set — it is |rows|/maxN entries, usually tiny
+    * but unbounded at corpus scale, so AQE picks broadcast-vs-shuffle from
+    * its ACTUAL runtime size.
+    */
+  private def downsampleHeavyKeys(
+      df: DataFrame, key: String, idCol: String, maxN: Int): DataFrame = {
+    val heavy = df.groupBy(key).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxN)
+    df.join(heavy, Seq(key), "left_outer")
+      .where(col("__n").isNull ||
+        pmod(xxhash64(col(idCol)),
+          ceil(col("__n").cast("double") / maxN).cast("long")) === 0)
+      .drop("__n")
+  }
+
   def lshBucketTopK(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, nPlanes: Int = 8, maxBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // no forced broadcast hint on the heavy-bucket set: it is n/maxBucket
-    // rows — usually tiny, but unbounded at corpus scale — so AQE picks
-    // broadcast-vs-shuffle from its ACTUAL runtime size
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
-    val heavy = bucketed.groupBy("bucket").agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") > maxBucket)
-    val withB = bucketed
-      .join(heavy, Seq("bucket"), "left_outer")
-      .where(col("__bn").isNull ||
-        pmod(xxhash64(col("id")), ceil(col("__bn").cast("double") / maxBucket).cast("long")) === 0)
-      .drop("__bn")
+    val withB = downsampleHeavyKeys(bucketed, "bucket", "id", maxBucket)
     val a = withB.select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
     val b = withB.select(col("id").as("cand_id"), col("v").as("cv"), col("bucket"))
     val scored = a.join(b, Seq("bucket"))
@@ -202,12 +214,7 @@ object VectorOps {
     val lists0 = scored.groupBy("id")
       .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
         first(col("v")).as("v"), first(col("nv")).as("nv"))
-    val heavy = lists0.groupBy("cell").agg(count(lit(1)).as("__cn"))
-      .where(col("__cn") > maxList)
-    val lists = lists0.join(heavy, Seq("cell"), "left_outer")
-      .where(col("__cn").isNull ||
-        pmod(xxhash64(col("id")),
-          ceil(col("__cn").cast("double") / maxList).cast("long")) === 0)
+    val lists = downsampleHeavyKeys(lists0, "cell", "id", maxList)
       .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"),
         col("nv").as("ncv"))
 

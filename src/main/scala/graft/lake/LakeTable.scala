@@ -355,10 +355,16 @@ class LakeTable(val root: String, val spark: SparkSession) {
     //     writer is dead (the pointer swing follows the snapshot write
     //     immediately; an hour-long gap means a crash — the same liveness
     //     reasoning OrphanGc's grace age rests on). The crashed commit was
-    //     never published, so SUPERSEDE it: delete the file and retry
-    //     CREATE_NEW with our own snapshot. Publishing a crashed commit
-    //     hours later would surface a ghost write its caller was told
-    //     failed.
+    //     never published, so SUPERSEDE it: atomically RENAME the file to a
+    //     quarantine name and retry CREATE_NEW with our own snapshot.
+    //     Publishing a crashed commit hours later would surface a ghost
+    //     write its caller was told failed. The rename (not a delete) does
+    //     two jobs: two committers superseding concurrently can't both win
+    //     (exactly one move succeeds; the loser surfaces a retryable
+    //     conflict and on retry ADOPTS the winner's fresh snapshot), and if
+    //     the "orphan" was actually a published snapshot whose pointer was
+    //     regressed by outside interference, its bytes survive in
+    //     quarantine for the whole GC grace window instead of vanishing.
     //   - FRESH orphan that does NOT parse: a concurrent writer may be
     //     mid-write of those very bytes — hands off, retryable conflict
     //     (once it finishes, the retry adopts; if it crashed, the retry
@@ -376,8 +382,12 @@ class LakeTable(val root: String, val spark: SparkSession) {
         try { snapshot(id); true } catch { case _: Exception => false }
       val pointerAtParent = currentSnapshotId == parent.map(_.id)
       val superseded = pointerAtParent && ageMs >= OrphanAdoptMaxAgeMs && {
-        try Files.deleteIfExists(snapPath) catch { case _: Exception => () }
-        tryCreateNew()
+        val quarantine = metaDir.resolve(
+          s"snap-$id.json.superseded-${java.util.UUID.randomUUID().toString.take(8)}")
+        val won =
+          try { Files.move(snapPath, quarantine, StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: Exception => false } // another superseder won the move
+        won && tryCreateNew()
       }
       if (!superseded) {
         // The pointer is RE-READ immediately before the move and the

@@ -162,7 +162,8 @@ object OrphanGc {
     if (Files.exists(metaDir)) LakeTable.listDir(metaDir).foreach { p =>
       val n = p.getFileName.toString
       val sweepable = n.startsWith("manifest-") && n.endsWith(".json") ||
-        n.startsWith("version-hint.tmp-") || n.startsWith("version-hint.adopt-")
+        n.startsWith("version-hint.tmp-") || n.startsWith("version-hint.adopt-") ||
+        n.contains(".json.superseded-") // quarantined stale-orphan snapshots
       if (sweepable && !liveManifests(n)) {
         try if (oldEnough(p)) { Files.deleteIfExists(p); deletedMeta += n }
         catch { case e: Exception => failures += s"$n: ${e.getMessage}" }

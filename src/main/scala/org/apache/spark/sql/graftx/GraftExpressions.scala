@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, TypeCollection}
 
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
@@ -106,13 +106,16 @@ case class Hilbert64(left: Expression, right: Expression, order: Int)
     copy(left = newLeft, right = newRight)
 }
 
-/** `dot_f32(a, b)` — native dot product of two `array<float>` columns as a
-  * double. The `aggregate(zip_with(...))` formulation it replaces runs
+/** `dot_f32(a, b)` — native dot product of two float/double array columns as
+  * a double. The `aggregate(zip_with(...))` formulation it replaces runs
   * interpreted higher-order lambdas PER ELEMENT (boxing every float and
   * allocating the zipped array per row); this emits one static call to a
   * tight primitive loop over ArrayData, keeping similarity scoring inside
   * whole-stage codegen — the ANN paths compute corpus x centroid /
   * bucket-pair dots, where the per-element interpreter tax dominated.
+  * `array<double>` inputs are read at full precision (no implicit downcast
+  * to float — the HOF chain computed in double, and results must not
+  * change for double-typed callers); other numeric arrays coerce to float.
   * Null semantics match the old chain: length mismatch or a null element
   * gives null; empty arrays give 0.0.
   */
@@ -120,19 +123,27 @@ case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+    Seq(TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
+      TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_f32"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    graft.functions.VecMath.dotF32(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    graft.functions.VecMath.dotMixed(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |java.lang.Double ${ev.value}_r = graft.functions.VecMath.dotF32($a, $b);
+         |java.lang.Double ${ev.value}_r = graft.functions.VecMath.dotMixed(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
          |if (${ev.value}_r == null) {
          |  ${ev.isNull} = true;
          |} else {

@@ -287,6 +287,11 @@ class VectorOpsSpec extends AnyFunSuite {
     val mm = Seq((Seq(1f, 2f), Seq(1f))).toDF("a", "b")
     assert(mm.select(VectorOps.dot(col("a"), col("b"))).collect().head.isNullAt(0))
     assert(mm.select(VectorOps.dotHof(col("a"), col("b"))).collect().head.isNullAt(0))
+    // array<double> keeps FULL precision (no implicit downcast to float):
+    // 1 + 1e-9 is representable in double but rounds to 1.0f in float
+    val dd = Seq((Seq(1.0 + 1e-9, 2.0), Seq(1.0, 0.0))).toDF("a", "b")
+    val full = dd.select(VectorOps.dot(col("a"), col("b"))).as[Double].head()
+    assert(full == 1.0 + 1e-9, s"double inputs must not round-trip through float: $full")
     // interpreted path (no codegen) agrees with the codegen path
     val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
     val prevFm = spark.conf.get("spark.sql.codegen.factoryMode")
@@ -313,9 +318,15 @@ class VectorOpsSpec extends AnyFunSuite {
         .as[Long].collect().toSeq
       assert(native == hof, s"bucket mismatch at $planes planes")
     }
-    // legacy edge: an EMPTY vector projects 0.0 >= 0 on every plane
-    val empty = Seq(Tuple1(Seq.empty[Float])).toDF("v")
-    assert(empty.select(VectorOps.lshBucket(col("v"), 6)).as[Long].head() == 63L)
+    // degenerate inputs must ALSO match the legacy formulation: empty and
+    // null vectors both land in bucket 0 (the legacy null-padded zip
+    // poisoned every projection; nulls must not drop out of bucket joins)
+    val edge = Seq(Tuple1(Some(Seq.empty[Float])), Tuple1(Option.empty[Seq[Float]]))
+      .toDF("v")
+    val nativeEdge = edge.select(VectorOps.lshBucket(col("v"), 6)).as[Long].collect().toSeq
+    val hofEdge = edge.select(coalesce(VectorOps.lshBucketHof(col("v"), 6), lit(0L)))
+      .as[Long].collect().toSeq
+    assert(nativeEdge == Seq(0L, 0L) && hofEdge == nativeEdge)
   }
 
   test("cosine: orthogonal=0, identical=1") {

@@ -402,6 +402,17 @@ class LakeSpec extends AnyFunSuite {
       "the orphan's content must be replaced by the new writer's snapshot")
     assert(t.scan().df.count() == rows1 + extra.count(),
       "the dead writer's rows must NOT appear")
+    // supersede QUARANTINES the stale bytes (atomic rename: two concurrent
+    // superseders can't both win, and a pointer-regression accident keeps
+    // its data recoverable for the grace window); GC sweeps it past grace
+    val metaDir = java.nio.file.Paths.get(t.root, "metadata")
+    val quarantined = LakeTable.listDir(metaDir)
+      .map(_.getFileName.toString).filter(_.contains(".json.superseded-"))
+    assert(quarantined.size == 1, s"expected a quarantine file, got $quarantined")
+    val gc = OrphanGc.removeOrphans(t, olderThanMs = 0,
+      nowMs = System.currentTimeMillis() + 60000, adoptGuardMs = 0)
+    assert(gc.deletedMeta.exists(_.contains(".json.superseded-")),
+      s"GC must sweep the quarantine file past grace, got ${gc.deletedMeta}")
   }
 
   test("torn orphan snapshot: never adopted, maintenance unharmed, GC sweeps it") {
