@@ -20,7 +20,8 @@ object PlanAudit {
   val Audited: Seq[String] = Seq(
     "q01_agg_filter", "q03_join_agg", "q14_jaccard_pairs", "q15_minhash_lsh",
     "q16b_simhash_pairs", "q18b_ann_lsh", "q21_lake_pruned_scan",
-    "q29_sql_pruned_scan", "q30_sessionize_batch")
+    "q29_sql_pruned_scan", "q30_sessionize_batch", "q31_dedup_groups",
+    "q32_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
