@@ -306,6 +306,23 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Embedding-cosine near-dup GROUPS: ANN candidates above a cosine
+    // threshold feed min-id label propagation — the embedding-space
+    // equivalent of q31's text dedup. Oracle: with planted exact copies and
+    // otherwise well-separated random vectors, the only pairs above the
+    // threshold are the copies, so groups equal PARTITION BY embedding.
+    "q33_embedding_neardup" -> ((s, d) => {
+      val base = t(s, d, "embeddings").where(col("vec_id") < 2000)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.union(
+        base.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val cand = VectorOps.lshBucketTopK(corpus, "vec_id", "embedding", 5)
+        .where(col("cos") > 0.9999 && col("query_id") < col("cand_id"))
+        .select(col("query_id").as("id_a"), col("cand_id").as("id_b"))
+      Dedup.dedupGroups(corpus.select("vec_id"), "vec_id", cand)
+        .orderBy("vec_id")
+    }),
+
     // IVF ANN (data-adapted cells, the second scale path beside LSH): same
     // planted-copy recall invariant — an exact duplicate assigns to the same
     // nearest centroid as its query, so any nProbe >= 1 probes it and it
@@ -590,6 +607,16 @@ object SparkEntry {
     "q32_ann_ivf" ->
       """SELECT vec_id AS query_id, 1 AS copy_in_top5
         |FROM embeddings WHERE vec_id < 50 ORDER BY query_id""".stripMargin,
+
+    // only the planted copies clear the cosine threshold, so near-dup
+    // groups equal identical-embedding partitions
+    "q33_embedding_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+        |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 2000)
+        |SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS group_id
+        |FROM corpus ORDER BY vec_id""".stripMargin,
 
     "q16b_simhash_pairs" ->
       """WITH corpus AS (
