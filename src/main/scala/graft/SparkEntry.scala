@@ -219,23 +219,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash invariants: (1) the corpus-scale aggregate shape (simhashDf)
-    // agrees with the per-row Column shape (simhash64) on every doc — two
-    // independent implementations cross-check; (2) exact duplicates get
-    // identical fingerprints. Both reduce to constants ANSI SQL can state.
+    // SimHash invariants: (1) THREE independent implementations agree on
+    // every doc — the corpus-scale aggregate shape (simhashDf), the per-row
+    // Column fold (simhash64), and the native codegen kernel
+    // (simhash64Native, the shape the candidate operators run on); (2)
+    // exact duplicates get identical fingerprints. Both reduce to constants
+    // ANSI SQL can state.
     "q16_simhash" -> ((s, d) => {
       val base = t(s, d, "documents").where(col("doc_id") < 2000)
         .select(col("doc_id"), col("text"))
       val corpus = base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       val agg = Dedup.simhashDf(corpus, "doc_id", "text")
-      val colShape = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp64"))
+      val colShape = corpus.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("fp64"),
+        Dedup.simhash64Native(col("text")).as("fp_nat"))
       val orig = agg.join(colShape, "doc_id").where(col("doc_id") < 10000)
-        .select(col("doc_id"), col("simhash"), col("fp64"))
+        .select(col("doc_id"), col("simhash"), col("fp64"), col("fp_nat"))
       val copy = agg.where(col("doc_id") >= 10000)
         .select((col("doc_id") - 10000).as("doc_id"), col("simhash").as("fp_copy"))
       orig.join(copy, "doc_id")
         .select(col("doc_id"),
-          (col("simhash") === col("fp64")).cast("int").as("impls_agree"),
+          (col("simhash") === col("fp64") && col("simhash") === col("fp_nat"))
+            .cast("int").as("impls_agree"),
           (col("simhash") === col("fp_copy")).cast("int").as("dup_agree"))
         .orderBy("doc_id")
     }),

@@ -76,6 +76,27 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast(LongType)
 
+  /** Native per-row SimHash ([[org.apache.spark.sql.graftx.SimHash64F]]):
+    * bit-identical to [[simhash64]] and [[simhashDf]], computed in one
+    * codegen'd kernel pass inside the projection — no token explode, no
+    * shuffle. Null text fingerprints to 0, like the Column shapes.
+    */
+  def simhash64Native(text: Column): Column = {
+    import org.apache.spark.sql.graftx.{Bridge, SimHash64F}
+    Bridge.toColumn(SimHash64F(Bridge.toExpression(coalesce(text, lit("")))))
+  }
+
+  /** Native per-row MinHash signature
+    * ([[org.apache.spark.sql.graftx.MinHashSigF]]): bit-identical to the
+    * explode(wordShingles) -> groupBy-min shape, one kernel pass, no
+    * explode/shuffle. Null text signs like empty text (the "" shingle).
+    */
+  def minhashSignatureNative(text: Column, shingleK: Int, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftx.{Bridge, MinHashSigF}
+    Bridge.toColumn(MinHashSigF(
+      Bridge.toExpression(coalesce(text, lit(""))), shingleK, numHashes))
+  }
+
   /** Drop rows whose `keys` combination is shared by more than `maxBucket`
     * rows — the SKEW-SAFE heavy-key cap shared by every candidate-join
     * operator here. Counts come from `groupBy(keys).count()` (map-side
@@ -127,12 +148,14 @@ object Dedup {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
     val chunkBits = 64 / bands
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    // The fingerprint frame (a full-corpus explode + 64-sum groupBy, the
-    // operator's dominant cost) feeds FIVE consumers below — persist makes
-    // the reuse explicit instead of relying on ReuseExchange surviving AQE
+    // The fingerprint frame feeds FIVE consumers below — persist makes the
+    // reuse explicit instead of relying on ReuseExchange surviving AQE
     // replanning; released by materializeAndRelease before returning.
-    val fp = simhashDf(df, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
+    // Fingerprints come from the NATIVE kernel (one codegen'd pass in the
+    // projection, no explode/shuffle — bit-identical to simhashDf, which
+    // q16's oracle cross-checks against it corpus-wide).
+    val fp = df
+      .select(col(idCol).as("id"), simhash64Native(col(textCol)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // One row per DISTINCT fingerprint; members expand at the end.
@@ -290,13 +313,15 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate candidate pairs over (idCol, textCol).
     *
-    * Shape chosen for scale AND to defeat Catalyst's CollapseProject: a
-    * pure-Column signature (`minhashSignature`) gets its shingle-array
-    * argument INLINED into all numHashes array_min calls, recomputing the
-    * shingles numHashes times per row (measured 40x slowdown). Instead:
-    * explode shingles once, hash each shingle numHashes ways, and take
-    * per-id mins via groupBy — partial (map-side) aggregation makes the
-    * shuffle carry only numHashes longs per document.
+    * Signature shape, third iteration: the pure-Column signature
+    * (`minhashSignature`) was rejected because CollapseProject inlines the
+    * shingle array into all numHashes array_min calls (measured 40x
+    * slowdown); the explode->groupBy-min shape fixed that but paid a full
+    * extra stage per build. The NATIVE kernel expression
+    * ([[minhashSignatureNative]]) computes the whole signature in one
+    * codegen'd pass inside the projection — no explode, no shuffle, and
+    * immune to projection inlining — while staying bit-identical to both
+    * Column shapes (DedupSpec pins the parity).
     *
     * Banding runs over DISTINCT signatures (exact duplicates — identical
     * shingle sets, hence identical signatures — collapse to one banded row
@@ -317,14 +342,12 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val shingled = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleK)).as("sh"))
-    val minAggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-    val mins = shingled.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-    // persist: the signature frame (shingle explode + 32-way min agg, the
-    // dominant cost) feeds five consumers below — see simhashCandidatePairs
-    val sig = mins.select(col("id"),
-      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    // persist: the signature frame feeds five consumers below — see
+    // simhashCandidatePairs. Signatures come from the NATIVE kernel (one
+    // codegen'd pass per row, no shingle explode, no groupBy stage —
+    // bit-identical to the explode->min shape, pinned by DedupSpec).
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignatureNative(col(textCol), shingleK, numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one banded row per DISTINCT signature

@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, TypeCollection}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, TypeCollection}
+import org.apache.spark.unsafe.types.UTF8String
 
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
@@ -155,6 +156,58 @@ case class DotF32(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotF32 =
     copy(left = newLeft, right = newRight)
+}
+
+/** `simhash64_f(text)` — 64-bit SimHash of a string in ONE codegen'd kernel
+  * pass (bit-identical to the `aggregate`-fold and explode->groupBy Column
+  * shapes, see [[graft.functions.SketchKernels.simhash64]]): the sketch is
+  * computed inside the scan projection with no token explode and no
+  * shuffle — the shape a 100 TB corpus pass wants.
+  */
+case class SimHash64F(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_f"
+
+  override protected def nullSafeEval(s: Any): Any =
+    graft.functions.SketchKernels.simhash64(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.SketchKernels.simhash64($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64F =
+    copy(child = newChild)
+}
+
+/** `minhash_sig_f(text, k, n)` — MinHash signature (n 64-bit mins over
+  * k-word shingles) in one codegen'd kernel pass, bit-identical to the
+  * explode(wordShingles) -> groupBy-min shape
+  * ([[graft.functions.SketchKernels.minhashSig]]). Beyond dropping the
+  * explode stage, a single expression is immune to the CollapseProject
+  * inlining that made the pure-Column signature recompute its shingle array
+  * numHashes times per row.
+  */
+case class MinHashSigF(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_f"
+
+  override protected def nullSafeEval(s: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      graft.functions.SketchKernels.minhashSig(
+        s.asInstanceOf[UTF8String], shingleK, numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.SketchKernels.minhashSig($s, $shingleK, $numHashes))")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigF =
+    copy(child = newChild)
 }
 
 /** `lsh_bucket_f32(v, nPlanes)` — random-hyperplane LSH bucket id of an

@@ -210,6 +210,39 @@ class DedupSpec extends AnyFunSuite {
       "the cap only limits DISTINCT fingerprints per bucket")
   }
 
+  test("native sketch kernels are bit-identical to the Column shapes") {
+    import spark.implicits._
+    // mixed corpus: normal, multi-space/leading-trailing whitespace, short
+    // (<= k tokens -> whole-doc shingle), empty, null, non-ASCII
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  spaced   out\ttokens \n here  "),
+      (3L, "short doc"),
+      (4L, ""),
+      (5L, null: String),
+      (6L, "café naïve résumé über tokens here now ok")
+    ).toDF("doc_id", "text")
+    // simhash: native == aggregate shape == per-row fold, doc by doc
+    val agg = Dedup.simhashDf(docs, "doc_id", "text")
+    val tri = docs.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("fold"),
+        Dedup.simhash64Native(col("text")).as("nat"))
+      .join(agg, "doc_id")
+    assert(tri.where(col("nat") =!= col("fold") || col("nat") =!= col("simhash"))
+      .count() == 0, "all three SimHash implementations must agree")
+    // minhash signature: native == explode(wordShingles) -> groupBy-min
+    val shingled = docs.select(col("doc_id"),
+      explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+    val minAggs = (0 until 16).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val ref = shingled.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"h$i")): _*).as("ref_sig"))
+    val both = docs.select(col("doc_id"),
+        Dedup.minhashSignatureNative(col("text"), 3, 16).as("nat_sig"))
+      .join(ref, "doc_id")
+    assert(both.where(col("nat_sig") =!= col("ref_sig")).count() == 0,
+      "native MinHash signatures must match the explode/groupBy reference")
+  }
+
   test("candidate-pair caps are skew-safe: no Window over the hot key") {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"alpha beta gamma token$i")).toDF("doc_id", "text")
