@@ -20,6 +20,18 @@ import graft.functions.{Dedup, Sanitize, TextMetrics, VectorOps, ZOrder}
   */
 object SparkEntry {
 
+  /** The planted-copy corpus every sketch/ANN oracle builds on: rows with
+    * id < 2000 plus an id-shifted (+10000) EXACT copy of each — the shift
+    * and cut are defined once so the invariant queries cannot drift apart.
+    * `payload` is the single non-id column carried along (text/embedding).
+    */
+  private def plantedCopies(s: SparkSession, dir: String, table: String,
+                            idCol: String, payload: String): DataFrame = {
+    val base = t(s, dir, table).where(col(idCol) < 2000)
+      .select(col(idCol), col(payload))
+    base.union(base.select((col(idCol) + 10000).as(idCol), col(payload)))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -208,9 +220,7 @@ object SparkEntry {
     // candidates therefore equals the self-join itself; one missed pair
     // breaks the row hash.
     "q15_minhash_lsh" -> ((s, d) => {
-      val base = t(s, d, "documents").where(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"))
-      val corpus = base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val corpus = plantedCopies(s, d, "documents", "doc_id", "text")
       val cands = Dedup.minhashCandidatePairs(corpus, "doc_id", "text", maxBucket = 5000)
       val exact = corpus.as("x").join(corpus.as("y"),
           col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
@@ -226,9 +236,7 @@ object SparkEntry {
     // exact duplicates get identical fingerprints. Both reduce to constants
     // ANSI SQL can state.
     "q16_simhash" -> ((s, d) => {
-      val base = t(s, d, "documents").where(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"))
-      val corpus = base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val corpus = plantedCopies(s, d, "documents", "doc_id", "text")
       val agg = Dedup.simhashDf(corpus, "doc_id", "text")
       val colShape = corpus.select(col("doc_id"),
         Dedup.simhash64(col("text")).as("fp64"),
@@ -251,9 +259,7 @@ object SparkEntry {
     // pair among the simhash candidates — the semi-join result equals the
     // plain SQL self-join on text, so any missed pair breaks the row hash.
     "q16b_simhash_pairs" -> ((s, d) => {
-      val base = t(s, d, "documents").where(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"))
-      val corpus = base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val corpus = plantedCopies(s, d, "documents", "doc_id", "text")
       val cands = Dedup.simhashCandidatePairs(corpus, "doc_id", "text", maxBucket = 5000)
       val exact = corpus.as("x").join(corpus.as("y"),
           col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
@@ -301,10 +307,7 @@ object SparkEntry {
     // tie-break would rank the lower base id first — the retrieval form is
     // the guarantee the operator actually makes, independent of ties.
     "q18b_ann_lsh" -> ((s, d) => {
-      val base = t(s, d, "embeddings").where(col("vec_id") < 2000)
-        .select(col("vec_id"), col("embedding"))
-      val corpus = base.union(
-        base.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val corpus = plantedCopies(s, d, "embeddings", "vec_id", "embedding")
       VectorOps.lshBucketTopK(corpus, "vec_id", "embedding", 5)
         .where(col("query_id") < 50 && col("cand_id") === col("query_id") + 10000)
         .select(col("query_id"), lit(1).as("copy_in_top5"))
@@ -317,10 +320,7 @@ object SparkEntry {
     // otherwise well-separated random vectors, the only pairs above the
     // threshold are the copies, so groups equal PARTITION BY embedding.
     "q33_embedding_neardup" -> ((s, d) => {
-      val base = t(s, d, "embeddings").where(col("vec_id") < 2000)
-        .select(col("vec_id"), col("embedding"))
-      val corpus = base.union(
-        base.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val corpus = plantedCopies(s, d, "embeddings", "vec_id", "embedding")
       val cand = VectorOps.lshBucketTopK(corpus, "vec_id", "embedding", 5)
         .where(col("cos") > 0.9999 && col("query_id") < col("cand_id"))
         .select(col("query_id").as("id_a"), col("cand_id").as("id_b"))
@@ -333,10 +333,7 @@ object SparkEntry {
     // nearest centroid as its query, so any nProbe >= 1 probes it and it
     // must be retrieved into the top-5.
     "q32_ann_ivf" -> ((s, d) => {
-      val base = t(s, d, "embeddings").where(col("vec_id") < 2000)
-        .select(col("vec_id"), col("embedding"))
-      val corpus = base.union(
-        base.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val corpus = plantedCopies(s, d, "embeddings", "vec_id", "embedding")
       VectorOps.ivfTopK(corpus, "vec_id", "embedding", 5, nLists = 64, nProbe = 4)
         .where(col("query_id") < 50 && col("cand_id") === col("query_id") + 10000)
         .select(col("query_id"), lit(1).as("copy_in_top5"))

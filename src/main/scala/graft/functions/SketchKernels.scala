@@ -1,42 +1,47 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Tight-loop text-sketch kernels called from generated code (one static
   * call per row — see [[org.apache.spark.sql.graftx.SimHash64F]] /
   * [[org.apache.spark.sql.graftx.MinHashSigF]]). Each reproduces its Column
-  * formulation BIT-EXACTLY:
+  * formulation BIT-EXACTLY by using the same primitives the Column pipeline
+  * bottoms out in:
   *
-  *   - tokens = `trim` then Java-regex `\s+` split (empty text -> no
-  *     tokens), the same semantics as `TextMetrics.tokens` (Spark's trim
-  *     strips the same <= 0x20 range as String.trim, and StringSplit applies
-  *     the identical java.util.regex pattern);
-  *   - token/shingle hashes use the same xxhash64 chain Spark's `xxhash64`
-  *     computes: UTF-8 bytes with seed 42, then `hashInt(seedArg, prev)`
-  *     for the per-hash integer argument.
+  *   - tokens = `UTF8String.trim` (ASCII space only — Java String.trim
+  *     would also strip tab/newline and diverge on edge whitespace) then
+  *     `UTF8String.split("\s+", -1)` (limit -1 KEEPS trailing empty tokens,
+  *     exactly like Spark's `split`; Java String.split's default limit 0
+  *     would drop them) — byte-for-byte the tokens `TextMetrics.tokens`
+  *     produces, including on non-UTF8-valid input;
+  *   - token/shingle hashes run XXH64 over the token's raw bytes with seed
+  *     42, then `hashInt(seedArg, prev)` for the per-hash integer argument —
+  *     the same chain Spark's `xxhash64` computes;
+  *   - shingles join tokens with a single space via `UTF8String.concatWs`,
+  *     matching `array_join(slice(tokens, ...), " ")`.
   *
   * Why kernels instead of the Column shapes: the per-row `aggregate` fold
   * runs interpreted per TOKEN x 64 bits, and the corpus-scale explode ->
   * groupBy shape pays a full extra stage (explode, partial agg, exchange,
   * final agg) per sketch build. One codegen'd pass per row computes the
-  * whole sketch with zero shuffle.
+  * whole sketch with zero shuffle. The per-row regex split cost is the SAME
+  * the Column pipeline pays (StringSplit delegates to the identical
+  * UTF8String.split), so nothing regresses there.
   */
 object SketchKernels {
 
-  /** Whitespace tokens, parity with `TextMetrics.tokens`. */
-  private def whitespaceTokens(s: UTF8String): Array[String] = {
-    val t = s.toString.trim
-    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+  private val WsPattern = UTF8String.fromString("\\s+")
+  private val Space = UTF8String.fromString(" ")
+
+  /** Whitespace tokens, bit-parity with `TextMetrics.tokens`. */
+  private def whitespaceTokens(s: UTF8String): Array[UTF8String] = {
+    val t = s.trim()
+    if (t.numBytes == 0) Array.empty[UTF8String] else t.split(WsPattern, -1)
   }
 
-  private def hashUtf8(str: String, seed: Long): Long = {
-    val b = str.getBytes(StandardCharsets.UTF_8)
-    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
-  }
+  private def hashToken(tok: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes, seed)
 
   /** 64-bit SimHash, parity with `Dedup.simhash64`/`Dedup.simhashDf`:
     * per token h = xxhash64(token); bit j votes +1/-1 by (h >> j) & 1; the
@@ -47,7 +52,7 @@ object SketchKernels {
     val votes = new Array[Int](64)
     var ti = 0
     while (ti < toks.length) {
-      val h = hashUtf8(toks(ti), 42L)
+      val h = hashToken(toks(ti), 42L)
       var j = 0
       while (j < 64) {
         votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
@@ -72,8 +77,8 @@ object SketchKernels {
     val toks = whitespaceTokens(s)
     val n = toks.length
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    def addShingle(sh: String): Unit = {
-      val base = hashUtf8(sh, 42L)
+    def addShingle(parts: Array[UTF8String]): Unit = {
+      val base = hashToken(UTF8String.concatWs(Space, parts: _*), 42L)
       var i = 0
       while (i < numHashes) {
         val v = XXH64.hashInt(i, base)
@@ -81,11 +86,11 @@ object SketchKernels {
         i += 1
       }
     }
-    if (n <= shingleK) addShingle(toks.mkString(" "))
+    if (n <= shingleK) addShingle(toks)
     else {
       var i = 0
       while (i + shingleK <= n) {
-        addShingle(toks.slice(i, i + shingleK).mkString(" "))
+        addShingle(java.util.Arrays.copyOfRange(toks, i, i + shingleK))
         i += 1
       }
     }

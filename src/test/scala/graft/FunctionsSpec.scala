@@ -213,14 +213,23 @@ class DedupSpec extends AnyFunSuite {
   test("native sketch kernels are bit-identical to the Column shapes") {
     import spark.implicits._
     // mixed corpus: normal, multi-space/leading-trailing whitespace, short
-    // (<= k tokens -> whole-doc shingle), empty, null, non-ASCII
+    // (<= k tokens -> whole-doc shingle), empty, null, non-ASCII — plus the
+    // EDGE-whitespace traps: Spark's trim strips ONLY ASCII space, so a
+    // leading tab survives trim and \s+ split yields a leading "" token,
+    // and Spark's split(limit -1) KEEPS the trailing "" token a trailing
+    // newline produces; a Java String.trim/split(limit 0) kernel diverges
+    // on exactly these docs
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "  spaced   out\ttokens \n here  "),
       (3L, "short doc"),
       (4L, ""),
       (5L, null: String),
-      (6L, "café naïve résumé über tokens here now ok")
+      (6L, "café naïve résumé über tokens here now ok"),
+      (7L, "\tleading tab"),
+      (8L, "trailing newline\n"),
+      (9L, "\r\nboth ends\t"),
+      (10L, " \t ") // trims to "\t": one split yields ["", ""]
     ).toDF("doc_id", "text")
     // simhash: native == aggregate shape == per-row fold, doc by doc
     val agg = Dedup.simhashDf(docs, "doc_id", "text")
