@@ -267,28 +267,43 @@ object Dedup {
         (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
   }
 
+  /** [[dedupGroups]] with its convergence evidence: the labeling plus
+    * whether the propagation actually reached a fixed point within the
+    * round cap, and how many rounds it ran.
+    */
+  final case class GroupsResult(groups: DataFrame, converged: Boolean, rounds: Int)
+
   /** Near-duplicate GROUPS from candidate pairs: min-id label propagation
     * over the pair graph — each round, every node adopts the smallest label
-    * among itself and its neighbors; after `maxIters` rounds the group id
-    * is the smallest id reachable within that many hops. Near-dup graphs
-    * have tiny diameter (exact-dup groups are cliques — one round; near-dup
+    * among itself and its neighbors, and the loop runs UNTIL A FIXED POINT
+    * (no label changed) or the `maxIters` hard cap. Near-dup graphs have
+    * tiny diameter (exact-dup groups are cliques — one round; near-dup
     * chains are short), so a handful of rounds converges; the iteration is
     * all equi-joins + map-side-combinable min aggregations, no driver-side
-    * graph state, so it scales like any shuffle. The per-round frames are
-    * persisted and the loop STOPS EARLY when a round changes no label.
+    * graph state, so it scales like any shuffle.
     *
-    * `pairs` needs columns (id_a, id_b); `ids` supplies every node (isolated
-    * docs keep their own id as group). Returns (idCol, group_id); the
-    * canonical "keeper" of a group is the row where idCol == group_id.
+    * Cost shape per round: ONE aggregation job on the freshly persisted
+    * label frame computes the changed-label count AND materializes the
+    * cache — the convergence probe is a column on the round's own frame,
+    * not a second join re-run as a separate action.
+    *
+    * `pairs` needs columns (id_a, id_b) of the SAME type as `ids`'
+    * `idCol` — the id type is preserved through the propagation (any
+    * orderable type works; nothing is cast), so string keys group as
+    * safely as longs. `ids` supplies every node (isolated docs keep their
+    * own id as group). Returns (idCol, group_id, converged, rounds);
+    * `converged = false` means a pathological chain exceeded the cap and
+    * the groups may be SPLIT finer than the true connected components —
+    * callers that must not act on partial groups check the flag.
     */
-  def dedupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
-                  maxIters: Int = 5): DataFrame = {
+  def dedupGroupsResult(ids: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIters: Int = 20): GroupsResult = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("grp"))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("grp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
@@ -296,19 +311,37 @@ object Dedup {
       // neighbor labels: for each edge dst, the src's current label
       val nbr = edges.join(labels.select(col("id").as("src"), col("grp")), "src")
         .groupBy(col("dst").as("id")).agg(min("grp").as("nbr_grp"))
+      val newGrp = least(col("grp"), coalesce(col("nbr_grp"), col("grp")))
       val next = labels.join(nbr, Seq("id"), "left_outer")
-        .select(col("id"), least(col("grp"), coalesce(col("nbr_grp"), col("grp"))).as("grp"))
+        .select(col("id"), newGrp.as("__grp_next"),
+          (newGrp =!= col("grp")).as("__chg"))
+        .withColumnRenamed("__grp_next", "grp")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n").join(labels.as("p"), "id")
-        .where(col("n.grp") =!= col("p.grp")).limit(1).count() > 0
+      // one action: materializes the round's cache and counts changes
+      val changed = next.agg(count(when(col("__chg"), lit(1)))).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = !changed
+      converged = changed == 0
       i += 1
     }
     edges.unpersist()
-    materializeAndRelease(
+    val out = materializeAndRelease(
       labels.select(col("id").as(idCol), col("grp").as("group_id")), labels)
+    GroupsResult(out, converged, i)
+  }
+
+  /** [[dedupGroupsResult]] returning just the labeling; an unconverged run
+    * (chain diameter beyond the cap) is surfaced loudly on stderr instead
+    * of silently returning split groups.
+    */
+  def dedupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
+                  maxIters: Int = 20): DataFrame = {
+    val r = dedupGroupsResult(ids, idCol, pairs, maxIters)
+    if (!r.converged)
+      System.err.println(s"[graft.dedup] WARNING: label propagation did not " +
+        s"converge within $maxIters rounds — groups may be split finer than " +
+        "true components; re-run with a higher maxIters or use dedupGroupsResult")
+    r.groups
   }
 
   /** MinHash-LSH near-duplicate candidate pairs over (idCol, textCol).

@@ -67,7 +67,12 @@ object VecMath {
           i += 1
         }
       }
-      if (!anyNull && proj >= 0) bucket |= 1L << j
+      // NOT `proj >= 0`: Java orders NaN below everything (`NaN >= 0` is
+      // false) while Spark SQL's `when(proj >= 0, ...)` orders NaN ABOVE
+      // every number (true) — a vector whose Inf elements cancel to NaN
+      // must land in the same bucket on both paths, so use the negation
+      // that Java evaluates the Spark way.
+      if (!anyNull && !(proj < 0)) bucket |= 1L << j
       j += 1
     }
     bucket

@@ -175,12 +175,23 @@ object VectorOps {
         .otherwise(dot(col("v"), col("cv")) / (col("nv") * col("ncv")))
 
     // deterministic seed centroids: the nLists vectors of smallest
-    // xxhash64(id) — RNG-free sampling; the Window runs over nLists rows
-    val seeds = base.select(col("v").as("cv"), xxhash64(col("id")).as("__h"))
+    // xxhash64(id) — RNG-free sampling. The hash-rank numbering happens
+    // DRIVER-SIDE on the collected <= nLists (64) rows: a global
+    // `Window.orderBy` over them would execute identically (one tiny
+    // partition) but spams the log with WindowExec's no-partition warning
+    // — which must stay reserved for REAL single-partition regressions —
+    // and a constant partitionBy is folded away by EliminateWindowPartitions.
+    // The collect is bounded by the nLists CONSTANT, never by data size.
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val seedRows = base.select(col("v").as("cv"), xxhash64(col("id")).as("__h"))
       .orderBy("__h").limit(nLists)
-    var centroids = withCentNorm(seeds
-      .withColumn("cell", row_number().over(Window.orderBy("__h")))
-      .drop("__h"))
+      .collect()
+    val seeds = seedRows.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](0)) }.toSeq
+      .toDF("cell", "cv")
+      .select(col("cell"), col("cv").cast("array<float>"))
+    var centroids = withCentNorm(seeds)
 
     // all corpus x centroid scores (the broadcast assignment pass)
     def scoreAll(cents: DataFrame): DataFrame =

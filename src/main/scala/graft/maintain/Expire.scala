@@ -27,8 +27,13 @@ object Expire {
              retainLast: Int = 2,
              olderThanMs: Option[Long] = None,
              nowMs: Long = System.currentTimeMillis()): Result = {
-    val snaps = table.allSnapshotsTolerant
     val currentId = table.currentSnapshotId.get
+    // COMMITTED snapshots only (id <= pointer): a not-yet-adopted orphan of
+    // a crashed commit must never be expired here — a retainLast=0 +
+    // olderThanMs=None call would otherwise delete a fresh orphan that a
+    // concurrent commit is about to adopt, leaving the pointer on a missing
+    // snapshot. Orphans are OrphanGc's job, behind its adoption age guard.
+    val snaps = table.allSnapshotsTolerant.filter(_.id <= currentId)
 
     val newestFirst = snaps.sortBy(-_.id)
     // `olderThanMs` is an AGE (the reference's retention duration,

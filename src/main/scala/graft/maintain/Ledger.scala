@@ -82,13 +82,17 @@ object Ledger {
   /** Record that `jobId`'s final snapshot committed — ONE file the
     * idempotence guard reads, instead of parsing the whole snapshot history
     * per maintenance call (the `last_cluster_id` pattern applied to job ids).
+    * The marker is PER OPERATION (`commit-<operation>.json`): two operations
+    * sharing one jobId (Maintenance suffixes guard against it, but the API
+    * allows it) keep independent idempotence guards instead of clobbering
+    * each other's single marker.
     */
   def markCommitted(table: LakeTable, jobId: String, operation: String,
                     snapshotId: Long): Unit = {
     val o = MetaJson.mapper.createObjectNode()
     o.put("job_id", jobId); o.put("operation", operation)
     o.put("snapshot_id", snapshotId)
-    atomicWrite(table, jobId, "commit.json", MetaJson.write(o))
+    atomicWrite(table, jobId, s"commit-$operation.json", MetaJson.write(o))
   }
 
   /** The snapshot `jobId` (of this operation) already committed, if any.
@@ -101,10 +105,15 @@ object Ledger {
     */
   def committedJobSnapshot(table: LakeTable, jobId: String,
                            operation: String): Option[Snapshot] = {
-    val marker = jobDir(table, jobId).resolve("commit.json")
-    if (Files.exists(marker)) {
-      val n = MetaJson.read(Files.readString(marker))
-      if (n.get("operation").asText != operation) return None
+    // per-operation marker first, then the legacy single marker (matching
+    // operation only). A marker for a DIFFERENT operation proves nothing
+    // about this one — fall through to the chain walk, never early-None.
+    val dir = jobDir(table, jobId)
+    val marker = Seq(dir.resolve(s"commit-$operation.json"), dir.resolve("commit.json"))
+      .find(Files.exists(_))
+      .map(p => MetaJson.read(Files.readString(p)))
+      .filter(_.get("operation").asText == operation)
+    marker.foreach { n =>
       val sid = n.get("snapshot_id").asLong
       return try Some(table.snapshot(sid))
       catch { // snapshot metadata already expired: the job is still DONE —
@@ -213,7 +222,10 @@ object Ledger {
         val jobId = dir.getFileName.toString
         try {
           val files = LakeTable.listDir(dir)
-          val committed = files.exists(_.getFileName.toString == "commit.json")
+          val committed = files.exists { f =>
+            val n = f.getFileName.toString
+            n.startsWith("commit") && n.endsWith(".json")
+          }
           val allOld = files.nonEmpty &&
             files.forall(f => Files.getLastModifiedTime(f).toMillis < nowMs - olderThanMs)
           if (committed && allOld) {

@@ -116,7 +116,9 @@ case class Hilbert64(left: Expression, right: Expression, order: Int)
   * bucket-pair dots, where the per-element interpreter tax dominated.
   * `array<double>` inputs are read at full precision (no implicit downcast
   * to float — the HOF chain computed in double, and results must not
-  * change for double-typed callers); other numeric arrays coerce to float.
+  * change for double-typed callers); other numeric arrays coerce to DOUBLE
+  * (ArrayType(DoubleType) leads the TypeCollection, so the implicit cast
+  * picks it first — matching the HOF double math).
   * Null semantics match the old chain: length mismatch or a null element
   * gives null; empty arrays give 0.0.
   */

@@ -295,6 +295,33 @@ class DedupSpec extends AnyFunSuite {
     assert(cg.toSeq == Seq(10L))
   }
 
+  test("dedupGroups: convergence flag trips on a chain longer than the cap") {
+    import spark.implicits._
+    // path graph 1-2-3-...-8: min-label propagation needs ~7 rounds; a cap
+    // of 2 must report converged=false AND visibly split groups, while the
+    // default cap converges and labels everything 1
+    val n = 8L
+    val ids = (1L to n).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val capped = Dedup.dedupGroupsResult(ids, "doc_id", pairs, maxIters = 2)
+    assert(!capped.converged && capped.rounds == 2)
+    assert(capped.groups.select("group_id").distinct().count() > 1)
+    val full = Dedup.dedupGroupsResult(ids, "doc_id", pairs)
+    assert(full.converged)
+    assert(full.groups.select("group_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("dedupGroups: string ids propagate without casting (no null collapse)") {
+    import spark.implicits._
+    // a non-numeric id column must keep its type — the old long cast turned
+    // every id into null, collapsing all rows into one bogus group
+    val ids = Seq("u1#0", "u1#1", "u2#0").map(Tuple1(_)).toDF("k")
+    val pairs = Seq(("u1#0", "u1#1")).toDF("id_a", "id_b")
+    val got = Dedup.dedupGroups(ids, "k", pairs)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("u1#0", "u1#0"), ("u1#1", "u1#0"), ("u2#0", "u2#0")))
+  }
+
   test("jaccard candidates: document-frequency cap keeps stopwords out of the join") {
     import spark.implicits._
     // every doc shares the stopword "the"; only (1,2) share a rare token
@@ -369,6 +396,19 @@ class VectorOpsSpec extends AnyFunSuite {
     val hofEdge = edge.select(coalesce(VectorOps.lshBucketHof(col("v"), 6), lit(0L)))
       .as[Long].collect().toSeq
     assert(nativeEdge == Seq(0L, 0L) && hofEdge == nativeEdge)
+    // NaN parity: Spark SQL evaluates NaN >= 0 as TRUE (NaN orders above
+    // every number) while Java's `>= 0` is false for NaN — the kernel must
+    // follow the SQL semantics, so a NaN projection SETS the bit. Also
+    // covers Inf elements that may cancel to NaN inside a projection.
+    val nan = Seq(
+      Tuple1(Seq(Float.NaN, 1f)),
+      Tuple1(Seq(Float.PositiveInfinity, Float.NegativeInfinity)),
+      Tuple1(Seq(Float.NegativeInfinity, 2f))).toDF("v")
+    val nativeNan = nan.select(VectorOps.lshBucket(col("v"), 6)).as[Long].collect().toSeq
+    val hofNan = nan.select(coalesce(VectorOps.lshBucketHof(col("v"), 6), lit(0L)))
+      .as[Long].collect().toSeq
+    assert(nativeNan == hofNan, s"NaN/Inf bucket mismatch: $nativeNan vs $hofNan")
+    assert(nativeNan.head == 63L, "all-NaN projections must set every plane bit")
   }
 
   test("cosine: orthogonal=0, identical=1") {
