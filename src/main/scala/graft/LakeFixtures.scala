@@ -60,6 +60,28 @@ object LakeFixtures {
       .where(col("text") =!= "")
   }
 
+  private val dedupCache = scala.collection.concurrent.TrieMap.empty[String, LakeTable]
+
+  /** A SECOND lake table per sfDir for the dedupe maintenance pass (q34):
+    * load the pre-merge transcripts, then [[Dedupe.runPass]] removes every
+    * non-keeper duplicate-text turn. Separate from [[forDir]]'s table —
+    * dedupe commits a new current snapshot, which must not disturb the
+    * q19-q21/q29 oracles pinned to that fixture's maintenance narrative.
+    */
+  def dedupForDir(spark: SparkSession, sfDir: String): LakeTable =
+    dedupCache.getOrElseUpdate(sfDir, {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = Paths.get("target", "lakededup", tag).toString
+      LakeTable.deleteRecursively(Paths.get(root))
+      val t = LakeTable.create(spark, root,
+        org.apache.spark.sql.types.StructType(graft.synth.TranscriptSynth.schema))
+      t.append(transcripts(spark, sfDir)
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("conv_id"),
+          org.apache.spark.sql.functions.col("turn_idx")), s"dload-$tag")
+      graft.maintain.Dedupe.runPass(t, s"dedupe-$tag", targetFileRows = 4000)
+      t
+    })
+
   def forDir(spark: SparkSession, sfDir: String): Fixture = cache.getOrElseUpdate(sfDir, {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = Paths.get("target", "lakeq", tag).toString

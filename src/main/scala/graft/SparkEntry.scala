@@ -378,6 +378,32 @@ object SparkEntry {
           |ORDER BY conv_id, turn_idx""".stripMargin)
     }),
 
+    // Lake-integrated dedup maintenance: Dedupe.runPass removes every turn
+    // whose normalized text duplicates a smaller-keyed turn's, committing
+    // the survivors through commitDelta — the scan below reads the PASS'S
+    // OUTPUT table, so the oracle (min-key-per-text-partition in SQL)
+    // checks the applied deletion, not just a candidate list.
+    "q34_dedupe_pass" -> ((s, d) => {
+      val t = LakeFixtures.dedupForDir(s, d)
+      t.scan().df.select(col("conv_id"), col("turn_idx"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // SQL time travel: `VERSION AS OF` as a registered view over the
+    // custom leaf pinned at the pre-merge snapshot — a pure-SQL user reads
+    // the pre-correction table exactly as q20's programmatic scan does
+    // (same oracle), while maintenance has long since committed newer
+    // snapshots on top.
+    "q35_sql_time_travel" -> ((s, d) => {
+      val f = LakeFixtures.forDir(s, d)
+      graft.plans.GraftPlans.registerAsOf(s, f.table, "transcripts_premerge",
+        snapshotId = Some(f.preMergeSnapshot))
+      s.sql(
+        """SELECT conv_id, turn_idx, role, text, tool, unix_micros(ts) AS ts_us
+          |FROM transcripts_premerge
+          |ORDER BY conv_id, turn_idx""".stripMargin)
+    }),
+
     // --- adaptive CSV ingest (dialect detect + vertical transpose) ------
     "q22_vertical_ingest" -> ((s, d) => {
       val content = IngestFixtures.verticalKvCsv(s, d)
@@ -664,6 +690,27 @@ object SparkEntry {
 
     "q19_lake_scan" -> transcriptSql(corrected = true),
     "q20_lake_snapshot_isolation" -> transcriptSql(corrected = false),
+    // SQL VERSION AS OF view == the programmatic pinned scan (q20)
+    "q35_sql_time_travel" -> transcriptSql(corrected = false),
+
+    // survivors of the dedupe pass = the min-(conv_id,turn_idx) row of
+    // every identical-normalized-text partition (empty texts all survive)
+    "q34_dedupe_pass" ->
+      """WITH tr AS (
+        |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN '''=ALERT ' || props ELSE props END AS text
+        |  FROM events),
+        |n AS (
+        |  SELECT conv_id, turn_idx,
+        |         regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS tn
+        |  FROM tr),
+        |k AS (
+        |  SELECT conv_id, turn_idx, tn,
+        |         row_number() OVER (PARTITION BY tn ORDER BY conv_id, turn_idx) AS rn
+        |  FROM n)
+        |SELECT conv_id, turn_idx FROM k WHERE tn = '' OR rn = 1
+        |ORDER BY conv_id, turn_idx""".stripMargin,
     "q21_lake_pruned_scan" ->
       """WITH tr AS (
         |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,

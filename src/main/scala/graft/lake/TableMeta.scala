@@ -99,7 +99,8 @@ final case class ManifestRef(
     minConv: Option[String],
     maxConv: Option[String],
     minTurn: Option[Int],
-    maxTurn: Option[Int]) {
+    maxTurn: Option[Int],
+    bytes: Long = 0L) { // 0 = written before byte sums were persisted
 
   def overlapsConv(lo: String, hi: String): Boolean = (minConv, maxConv) match {
     case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
@@ -123,7 +124,8 @@ object ManifestRef {
     }
     ManifestRef(path, entries.size.toLong, entries.map(_.rows).sum,
       agg[String](_.minConv, _.min), agg[String](_.maxConv, _.max),
-      agg[Int](_.minTurn, _.min), agg[Int](_.maxTurn, _.max))
+      agg[Int](_.minTurn, _.min), agg[Int](_.maxTurn, _.max),
+      bytes = entries.map(_.bytes).sum)
   }
 }
 
@@ -189,6 +191,7 @@ object MetaJson {
   def manifestRefToJson(r: ManifestRef): ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("path", r.path); o.put("entry_count", r.entryCount); o.put("rows", r.rows)
+    o.put("bytes", r.bytes)
     r.minConv.foreach(o.put("min_conv", _)); r.maxConv.foreach(o.put("max_conv", _))
     r.minTurn.foreach(o.put("min_turn", _)); r.maxTurn.foreach(o.put("max_turn", _))
     o
@@ -197,7 +200,8 @@ object MetaJson {
   def manifestRefFromJson(n: JsonNode): ManifestRef = ManifestRef(
     n.get("path").asText, n.get("entry_count").asLong, n.get("rows").asLong,
     opt(n, "min_conv").map(_.asText), opt(n, "max_conv").map(_.asText),
-    opt(n, "min_turn").map(_.asInt), opt(n, "max_turn").map(_.asInt))
+    opt(n, "min_turn").map(_.asInt), opt(n, "max_turn").map(_.asInt),
+    bytes = opt(n, "bytes").map(_.asLong).getOrElse(0L))
 
   def snapshotToJson(s: Snapshot): ObjectNode = {
     val o = mapper.createObjectNode()

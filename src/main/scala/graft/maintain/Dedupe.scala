@@ -1,0 +1,240 @@
+package graft.maintain
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dedup
+import graft.lake.{DataFile, LakeTable, Snapshot}
+
+/** Lake-integrated deduplication: the dedup suite's groups APPLIED to the
+  * transcript table as a maintenance operation — the reference's core
+  * competency (id-keyed record merging, csv_handler.py:66-97, where later
+  * duplicates collapse into one surviving record) carried to its lakehouse
+  * conclusion. A pass finds turns whose (normalized) text duplicates
+  * another turn's, keeps ONE canonical row per duplicate group (the
+  * smallest (conv_id, turn_idx) key), and rewrites ONLY the data files
+  * holding the removed rows through the existing commitDelta path — the
+  * rest of the table (files AND manifests) carries forward untouched.
+  *
+  * Modes:
+  *   - `exact` (default): groups are identical normalized text (lower,
+  *     collapsed whitespace) — one groupBy, no candidate generation;
+  *   - `minhash`: near-duplicate groups from MinHash-LSH candidate pairs +
+  *     min-key label propagation ([[Dedup.dedupGroupsResult]]). The pass
+  *     REFUSES to delete when propagation did not converge (partial groups
+  *     must never drive deletions).
+  *
+  * Scale shape (10^12 turns): the victim set is computed in one corpus
+  * pass (groupBy on the text hash / LSH banding — both map-side-combining
+  * shuffles), persisted once under the job's ledger dir, and the rewrite
+  * is O(files containing victims): each ledger-checkpointed task anti-joins
+  * one bounded file group against ITS OWN victims (pre-filtered by file
+  * provenance), so a pass removing 0.1% of turns rewrites ~0.1% of files.
+  * Resume skips finished groups exactly like [[Clustering]].
+  *
+  * Rows with empty normalized text are never deduplicated (a transcript's
+  * legitimately empty turns are not "duplicates" of each other), and
+  * `minTokens` optionally raises that bar so short boilerplate ("ok",
+  * "yes") keeps every copy.
+  */
+object Dedupe {
+
+  final case class Result(snapshot: Snapshot, duplicateRows: Long,
+                          touchedFiles: Int, groupsRewritten: Int,
+                          resumedGroups: Int, converged: Boolean)
+
+  /** Remove duplicate-text turns from the current snapshot. Idempotent per
+    * (jobId): a committed pass returns its snapshot without rescanning.
+    */
+  def runPass(table: LakeTable, jobId: String,
+              mode: String = "exact",
+              minTokens: Int = 1,
+              targetFileRows: Long = 1L << 20,
+              groupTargetBytes: Long = 256L << 20,
+              interruptAfter: Int = Int.MaxValue): Result = {
+    require(mode == "exact" || mode == "minhash", s"unknown dedupe mode $mode")
+    val spark = table.spark
+
+    Ledger.committedJobSnapshot(table, jobId, "dedupe").foreach { s =>
+      return Result(s, 0L, 0, 0, 0, converged = true)
+    }
+
+    val jobDir = table.ledgerDir.resolve(jobId)
+    val victimsDir = jobDir.resolve("victims.parquet")
+
+    // ---- plan: compute + persist the victim set, group touched files ----
+    val plan = Ledger.readPlan(table, jobId) match {
+      case Some(p) =>
+        require(p.kind == "dedupe",
+          s"ledger id collision: plan for $jobId belongs to a '${p.kind}' job")
+        require(table.currentSnapshotId.contains(p.baseSnapshotId),
+          s"ledger plan for $jobId was computed on snapshot ${p.baseSnapshotId} " +
+            s"but current is ${table.currentSnapshotId}; stale plan")
+        require(Files.exists(victimsDir),
+          s"dedupe plan for $jobId exists but its victim set is missing")
+        p
+      case None =>
+        val victims = computeVictims(table, mode, minTokens)
+        // atomic publish: write to a tmp dir, move over — a crash mid-write
+        // can never leave a torn victim set a resume would trust
+        val tmp = jobDir.resolve("victims.parquet.tmp")
+        LakeTable.deleteRecursively(tmp)
+        victims.write.mode("overwrite").parquet(tmp.toString)
+        victims.unpersist() // no-op for the exact mode's unpersisted frame
+        LakeTable.deleteRecursively(victimsDir)
+        Files.move(tmp, victimsDir, StandardCopyOption.ATOMIC_MOVE)
+
+        // touched files = those holding at least one victim row; everything
+        // else carries forward without being read again
+        val touchedPaths = spark.read.parquet(victimsDir.toString)
+          .select("__src").distinct().collect().map(_.getString(0)).toVector.sorted
+        val byPath = table.currentFiles.map(f => f.path -> f).toMap
+        val touched = touchedPaths.map(byPath(_))
+        val groups = Clustering.greedyGroups(
+          touched.sortBy(f => (f.minConv.getOrElse(""), f.minTurn.getOrElse(0))),
+          groupTargetBytes).filter(_.nonEmpty)
+        Ledger.writePlan(table, jobId, table.currentSnapshotId.get,
+          groups.map(_.map(_.path)), kind = "dedupe")
+        Ledger.readPlan(table, jobId).get
+    }
+
+    if (plan.groups.isEmpty || plan.groups.forall(_.isEmpty)) {
+      // nothing to remove: no commit, no empty files (same rule as a no-op
+      // merge); the job is still marked so replays stay O(1)
+      val cur = table.currentSnapshot.get
+      Ledger.markCommitted(table, jobId, "dedupe", cur.id)
+      return Result(cur, 0L, 0, 0, 0, converged = true)
+    }
+
+    val victims = spark.read.parquet(victimsDir.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVictims = victims.count()
+
+    val entryByPath = table.currentEntries.map(e => e.file.path -> e).toMap
+    val done = Ledger.readTasks(table, jobId).filter(_._2.state == "done")
+    val resumedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val executedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def runGroup(paths: Vector[String], gi: Int): Vector[DataFile] =
+      done.get(gi) match {
+        case Some(t) => resumedCount.incrementAndGet(); t.outFiles
+        case None =>
+          val t0 = System.nanoTime()
+          val inFiles = paths.map(entryByPath(_).file)
+          val rows = inFiles.map(_.rows).sum
+          val bytes = inFiles.map(_.bytes).sum
+          try {
+            if (executedCount.getAndIncrement() >= interruptAfter)
+              throw new InterruptedException(s"chaos interrupt after $interruptAfter groups")
+            // this group's victims only: provenance pre-filter keeps the
+            // anti-join proportional to the group, not the whole pass
+            val groupVictims = victims.where(col("__src").isin(paths: _*))
+              .select("conv_id", "turn_idx")
+            val df = spark.read.schema(table.schema.toStruct)
+              .parquet(paths.map(table.absData): _*)
+              .join(groupVictims, Seq("conv_id", "turn_idx"), "left_anti")
+              .sortWithinPartitions("conv_id", "turn_idx")
+            val out = table.writeDataFiles(df, s"$jobId-g$gi")
+            Ledger.writeTask(table, Ledger.TaskRow(jobId, gi, "done", paths,
+              out, rows, bytes, (System.nanoTime() - t0) / 1000000))
+            out
+          } catch { case e: Throwable =>
+            Ledger.writeTask(table, Ledger.TaskRow(jobId, gi, "error", paths,
+              Vector.empty, rows, bytes, (System.nanoTime() - t0) / 1000000,
+              errorMessage = String.valueOf(e.getMessage)))
+            throw e
+          }
+      }
+
+    val indexed = plan.groups.zipWithIndex
+    val outputs =
+      if (interruptAfter != Int.MaxValue) indexed.map { case (p, gi) => runGroup(p, gi) }
+      else Parallel.mapInParallel(indexed,
+        parallelism = math.max(2, spark.sparkContext.defaultParallelism / 8)) {
+        case (p, gi) => runGroup(p, gi)
+      }
+    victims.unpersist()
+
+    val removed = plan.groups.flatten.sorted.map(entryByPath(_))
+    val snap = table.commitDelta(outputs.flatten, removed, "dedupe",
+      summary = Map("job_id" -> jobId,
+        "mode" -> mode,
+        "duplicate_rows" -> nVictims.toString,
+        "touched_files" -> removed.size.toString))
+    Ledger.markCommitted(table, jobId, "dedupe", snap.id)
+    Result(snap, nVictims, removed.size, plan.groups.size,
+      resumedCount.get(), converged = true)
+  }
+
+  /** One corpus pass producing the victim rows: (conv_id, turn_idx, __src)
+    * for every row that is NOT its duplicate group's keeper. Keeper = the
+    * smallest (conv_id, turn_idx) struct in the group — deterministic, and
+    * identical to the reference's first-occurrence-survives rule under the
+    * table's stable key ordering.
+    */
+  private[maintain] def computeVictims(table: LakeTable, mode: String,
+                                       minTokens: Int): DataFrame = {
+    val spark = table.spark
+    val paths = table.currentFiles.map(f => table.absData(f.path))
+    require(paths.nonEmpty, s"no data files to dedupe at ${table.root}")
+    val rows = spark.read.schema(table.schema.toStruct).parquet(paths: _*)
+      .select(col("conv_id"), col("turn_idx"), col("text"),
+        // provenance as a TABLE-RELATIVE path, matching manifest entries
+        concat(lit("data/"),
+          element_at(split(input_file_name(), "/"), -1)).as("__src"))
+      .withColumn("__tn", Dedup.normalizedText(col("text")))
+      .where(length(col("__tn")) > 0 &&
+        size(split(col("__tn"), " ")) >= minTokens)
+
+    mode match {
+      case "exact" =>
+        // keeper per identical normalized text: one map-side-combining
+        // shuffle keyed on the 64-bit text hash (tiny shuffle key; the
+        // within-group min re-checks nothing because the FULL normalized
+        // text rides along in the grouping key, so hash collisions split
+        // into their true groups)
+        val keepers = rows
+          .groupBy(xxhash64(col("__tn")).as("__h"), col("__tn"))
+          .agg(min(struct(col("conv_id"), col("turn_idx"))).as("__keep"),
+            count(lit(1)).as("__n"))
+          .where(col("__n") > 1)
+          .select(col("__h"), col("__tn"), col("__keep"))
+        rows.join(keepers, Seq("__tn"))
+          .where(struct(col("conv_id"), col("turn_idx")) =!= col("__keep"))
+          .select("conv_id", "turn_idx", "__src")
+
+      case "minhash" =>
+        // near-dup groups over a composite string key ("\u0001" separator
+        // — never occurs in conv ids); the label propagation keeps the key
+        // type, no long cast (see dedupGroups). Keeper = lexicographically
+        // smallest key: deterministic (numeric turn order within a conv is
+        // not required, only a stable canonical pick).
+        val keyed = rows.withColumn("__k",
+          concat_ws("\u0001", col("conv_id"), col("turn_idx").cast("string")))
+        // sketch the NORMALIZED text — same equivalence the exact mode
+        // groups on, so exact duplicates differing only in case/whitespace
+        // are guaranteed candidates (identical signature, all bands shared)
+        val pairs = Dedup.minhashCandidatePairs(keyed, "__k", "__tn")
+        val r = Dedup.dedupGroupsResult(keyed.select("__k"), "__k",
+          pairs.select("id_a", "id_b"))
+        if (!r.converged) {
+          pairs.unpersist(); r.groups.unpersist()
+          throw new IllegalStateException(
+            "dedupe(minhash): label propagation did not converge — refusing " +
+              "to delete rows based on partial duplicate groups; raise " +
+              "maxIters or investigate the candidate graph")
+        }
+        val victims = r.groups.where(col("__k") =!= col("group_id")).select("__k")
+        // materialize BEFORE releasing the label/pair caches — the victim
+        // frame's lineage reaches back through the whole propagation
+        val out = keyed.join(victims, Seq("__k"))
+          .select("conv_id", "turn_idx", "__src")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        pairs.unpersist(); r.groups.unpersist()
+        out
+    }
+  }
+}

@@ -95,6 +95,21 @@ object MergeInto {
     val touched = pruned.entries
     val carried = (pruned.totalFiles - touched.size).toInt
 
+    // No-op merge (empty or all-rejected drop, nothing to rewrite): commit
+    // NOTHING. Writing an empty data file per no-op merge would litter one
+    // manifest entry per maintenance cadence tick on sparse drop streams —
+    // 60-minute cadence, quiet weekend => dozens of empty files for
+    // compaction to sweep. Schema evolution can't be pending either: no
+    // staged rows means no new columns worth recording.
+    if (stagedRows == 0 && touched.isEmpty) {
+      aligned.unpersist()
+      dedup.unpersist()
+      val cur = table.currentSnapshot.get
+      return Result(cur, 0, carried, 0L, rejectedRows,
+        openedManifests = pruned.openedManifests.toInt,
+        totalManifests = pruned.totalManifests.toInt)
+    }
+
     val st = evolvedSchema.toStruct
     val target =
       if (touched.isEmpty)

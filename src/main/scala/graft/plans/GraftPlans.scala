@@ -31,9 +31,29 @@ import graft.lake.LakeTable
 final case class GraftTableScan(
     root: String,
     snapshotId: Option[Long],
-    output: Seq[Attribute]) extends LeafNode {
+    output: Seq[Attribute],
+    sizeInBytes: Long = 0L,
+    rowCount: Long = -1L) extends LeafNode {
 
-  override def computeStats(): Statistics = Statistics(sizeInBytes = BigInt(1) << 30)
+  /** Real statistics from the snapshot's persisted manifest byte/row sums
+    * (filled by [[GraftPlans.scan]] — O(1) metadata, no manifest opens), so
+    * joins against the lake view size it correctly: a small table
+    * broadcasts, a huge one never does. Parquet bytes under-state the
+    * in-memory row size, so the (compressed, columnar) size is scaled by
+    * the session's compression factor the way LogicalRelation does for
+    * file relations. Snapshots from before byte sums were persisted report
+    * 0 — fall back to a deliberately LARGE size (1 GiB): the safe failure
+    * mode is a missed broadcast, never an OOM'd one.
+    */
+  override def computeStats(): Statistics = {
+    if (sizeInBytes <= 0L) Statistics(sizeInBytes = BigInt(1) << 30)
+    else {
+      val factor = conf.fileCompressionFactor
+      Statistics(
+        sizeInBytes = BigInt(math.max(1L, (sizeInBytes * factor).toLong)),
+        rowCount = if (rowCount >= 0) Some(BigInt(rowCount)) else None)
+    }
+  }
 }
 
 object GraftPlans {
@@ -48,7 +68,52 @@ object GraftPlans {
       .getOrElse(throw new IllegalStateException("no snapshot to scan"))
     val attrs = snap.schema.toStruct.map(f =>
       AttributeReference(f.name, f.dataType, nullable = true)())
-    Bridge.ofRows(spark, GraftTableScan(table.root, Some(snap.id), attrs))
+    Bridge.ofRows(spark, GraftTableScan(table.root, Some(snap.id), attrs,
+      sizeInBytes = snap.manifests.map(_.bytes).sum,
+      rowCount = snap.manifests.map(_.rows).sum))
+  }
+
+  /** The table's committed snapshot history as a DataFrame, newest first —
+    * the reference's created_at-ordered metadata listing
+    * (file_repository.py:112-118) lifted to a queryable relation. Driver-side
+    * metadata only (O(snapshots)); orphan snap files of crashed commits are
+    * excluded, exactly as [[graft.lake.LakeTable.committedSnapshots]] reads.
+    */
+  def snapshots(spark: SparkSession, table: LakeTable): DataFrame = {
+    import spark.implicits._
+    table.committedSnapshots.sortBy(-_.id).map { s =>
+      (s.id, s.parentId, s.sequence, new java.sql.Timestamp(s.timestampMs),
+        s.operation, s.manifests.map(_.entryCount).sum,
+        s.manifests.map(_.rows).sum, s.manifests.map(_.bytes).sum)
+    }.toDF("snapshot_id", "parent_id", "sequence", "committed_at", "operation",
+      "n_files", "n_rows", "n_bytes")
+  }
+
+  /** Register the SQL surface for a lake table: `<name>` scans the current
+    * snapshot (optimizer-pruned via [[PruneGraftScans]]) and
+    * `<name>_snapshots` lists the committed history — a SQL user can pick a
+    * version from the listing and open it with [[registerAsOf]].
+    */
+  def registerTable(spark: SparkSession, table: LakeTable, name: String): Unit = {
+    install(spark)
+    scan(spark, table).createOrReplaceTempView(name)
+    snapshots(spark, table).createOrReplaceTempView(s"${name}_snapshots")
+  }
+
+  /** SQL time travel: register view `name` pinned at `snapshotId`
+    * (VERSION AS OF) or at the newest snapshot committed at-or-before
+    * `asOfTsMs` (TIMESTAMP AS OF). The pinned view stays metadata-pruned
+    * like any scan; maintenance committing newer snapshots never disturbs
+    * it (immutable files + versioned metadata).
+    */
+  def registerAsOf(spark: SparkSession, table: LakeTable, name: String,
+                   snapshotId: Option[Long] = None,
+                   asOfTsMs: Option[Long] = None): Unit = {
+    install(spark)
+    val sid = snapshotId.orElse(asOfTsMs.map(ts =>
+      table.snapshotAsOf(ts).getOrElse(throw new IllegalArgumentException(
+        s"no committed snapshot at or before $ts in ${table.root}")).id))
+    scan(spark, table, sid).createOrReplaceTempView(name)
   }
 
   /** Register the planning rule on an existing session (idempotent). Also

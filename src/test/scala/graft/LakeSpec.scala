@@ -80,6 +80,28 @@ class LakeSpec extends AnyFunSuite {
     assert(after.length == data.count() + 1)
   }
 
+  test("merge: an empty drop commits nothing (no empty files, same snapshot)") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("merge-empty"), TranscriptSynth.schema)
+    t.append(synth(10), "init")
+    val snapBefore = t.currentSnapshotId.get
+    val filesBefore = t.currentFiles.map(_.path)
+
+    // an EMPTY staged frame and an all-rejected one (unparseable turn_idx)
+    // must both be no-ops: no data file written, no snapshot committed
+    val empty = Seq.empty[(String, String, String, String, String, Long)]
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    val r1 = MergeInto.merge(t, empty, "empty-drop")
+    assert(r1.stagedRows == 0 && r1.touchedFiles == 0)
+    val rejectedOnly = Seq(("c00000001", "not-a-number", "user", "x", "", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    val r2 = MergeInto.merge(t, rejectedOnly, "rejected-drop")
+    assert(r2.stagedRows == 0 && r2.rejectedRows == 1)
+
+    assert(t.currentSnapshotId.get == snapBefore, "no-op merges must not commit")
+    assert(t.currentFiles.map(_.path) == filesBefore, "no empty data files")
+  }
+
   test("merge evolves schema append-only with new columns") {
     import spark.implicits._
     val t = LakeTable.create(spark, tmpTable("evolve"), TranscriptSynth.schema)
@@ -97,6 +119,93 @@ class LakeSpec extends AnyFunSuite {
     assert(row.getString(0) == "es" && row.getString(1) == "hola")
     // older rows read null for the new field
     assert(t.scan().df.where(col("lang").isNull).count() > 0)
+  }
+
+  private def dedupeFixtureRows: Seq[(String, Int, String, String, String, java.sql.Timestamp)] = {
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    Seq(
+      ("c001", 0, "user", "unique one", null, ts(0)),
+      ("c001", 1, "user", "Copy  ME", null, ts(1)), // group A keeper (min key)
+      ("c002", 0, "user", "copy me", null, ts(2)),  // dup of A (lower+ws collapse)
+      ("c003", 0, "user", "copy me", null, ts(3)),  // dup of A
+      ("c004", 0, "user", "unique two", null, ts(4)),
+      ("c005", 0, "user", "", null, ts(5)),          // empty texts are NEVER
+      ("c006", 0, "user", "", null, ts(6)))          // deduplicated
+  }
+
+  private def dedupeTable(name: String): LakeTable = {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable(name), TranscriptSynth.schema)
+    val df = dedupeFixtureRows
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    t.append(df.repartitionByRange(3, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    t
+  }
+
+  test("dedupe: duplicate-text turns removed, keeper survives, isolation holds") {
+    val t = dedupeTable("dedupe-exact")
+    val pre = t.currentSnapshotId.get
+    val filesBefore = t.currentFiles.map(_.path).toSet
+
+    val res = Dedupe.runPass(t, "dd1")
+    assert(res.duplicateRows == 2 && res.converged)
+    val after = t.scan().df.select("conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(after == Set(("c001", 0), ("c001", 1), ("c004", 0),
+      ("c005", 0), ("c006", 0)),
+      s"only the min-key copy of the dup group survives; got $after")
+
+    // snapshot isolation: the pre-dedupe snapshot still shows every row
+    assert(t.scan(snapshotId = Some(pre)).df.count() == 7)
+    // files without victims carry forward untouched
+    val filesAfter = t.currentFiles.map(_.path).toSet
+    assert((filesBefore & filesAfter).nonEmpty,
+      "victim-free files must carry forward verbatim")
+    assert(res.touchedFiles < filesBefore.size)
+
+    // same jobId: O(1) idempotent replay, no second commit
+    val snapAfter = t.currentSnapshotId.get
+    val replay = Dedupe.runPass(t, "dd1")
+    assert(replay.snapshot.id == snapAfter && replay.duplicateRows == 0)
+    // a fresh pass over the clean table: no victims -> no commit at all
+    val noop = Dedupe.runPass(t, "dd2")
+    assert(noop.snapshot.id == snapAfter && t.currentSnapshotId.get == snapAfter)
+  }
+
+  test("dedupe: minhash mode removes the same exact duplicates") {
+    val t = dedupeTable("dedupe-minhash")
+    val res = Dedupe.runPass(t, "ddm", mode = "minhash")
+    assert(res.duplicateRows == 2 && res.converged)
+    val after = t.scan().df.select("conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(after == Set(("c001", 0), ("c001", 1), ("c004", 0),
+      ("c005", 0), ("c006", 0)))
+  }
+
+  test("dedupe: interrupted pass resumes from the ledger, result identical") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("dedupe-resume"), TranscriptSynth.schema)
+    // dups spread across the key range so multiple task groups form
+    val rows = (0 until 40).map { i =>
+      val dup = i % 4 == 1 // every 4th conv duplicates the text of i-1
+      val text = if (dup) f"payload number ${i - 1}%03d" else f"payload number $i%03d"
+      (f"c$i%03d", 0, "user", text, null.asInstanceOf[String],
+        new java.sql.Timestamp(1704067200000L + i * 1000L))
+    }
+    t.append(rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .repartitionByRange(8, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+
+    // groupTargetBytes=1 forces one task group per touched file
+    intercept[Exception] {
+      Dedupe.runPass(t, "ddr", groupTargetBytes = 1L, interruptAfter = 1)
+    }
+    val resumed = Dedupe.runPass(t, "ddr", groupTargetBytes = 1L)
+    assert(resumed.resumedGroups >= 1, "finished groups must resume from the ledger")
+    assert(resumed.duplicateRows == 10)
+    val after = t.scan().df.select("conv_id").as[String].collect().toSet
+    assert(after == (0 until 40).filterNot(_ % 4 == 1).map(i => f"c$i%03d").toSet)
   }
 
   test("compaction: many small files bin-packed, content identical") {
@@ -446,16 +555,27 @@ class LakeSpec extends AnyFunSuite {
     t.append(synth(60).repartition(6), "init")
     val r1 = Clustering.cluster(t, "job-A")
     assert(r1.groups > 0)
-    val marker = t.ledgerDir.resolve("job-A/commit.json")
+    // marker is PER OPERATION: a different op sharing the jobId must not
+    // see cluster's marker as its own
+    val marker = t.ledgerDir.resolve("job-A/commit-cluster.json")
     assert(java.nio.file.Files.exists(marker), "commit marker written after the snapshot")
+    assert(Ledger.committedJobSnapshot(t, "job-A", "compact").isEmpty,
+      "another operation must not inherit this op's marker")
 
     // rerun short-circuits via the marker (no work, same snapshot)
     val r2 = Clustering.cluster(t, "job-A")
     assert(r2.groups == 0 && r2.snapshot.id == r1.snapshot.id)
 
+    // a LEGACY single marker (pre-per-op layouts) still short-circuits when
+    // its operation matches
+    val legacy = t.ledgerDir.resolve("job-A/commit.json")
+    java.nio.file.Files.move(marker, legacy)
+    assert(Ledger.committedJobSnapshot(t, "job-A", "cluster")
+      .exists(_.id == r1.snapshot.id), "legacy commit.json must still count")
+    java.nio.file.Files.delete(legacy)
+
     // crash between commitDelta and marker write: the parent-chain walk
     // (bounded by the plan's base snapshot) finds the commit and re-marks
-    java.nio.file.Files.delete(marker)
     val r3 = Clustering.cluster(t, "job-A")
     assert(r3.groups == 0 && r3.snapshot.id == r1.snapshot.id)
     assert(java.nio.file.Files.exists(marker), "fallback must heal the marker")

@@ -155,4 +155,69 @@ class PlansSpec extends AnyFunSuite {
     val df = GraftPlans.scan(spark, t)
     assert(df.count() == t.scan().df.count())
   }
+
+  test("leaf stats come from manifest byte sums; small lake view broadcasts") {
+    val t = freshTable("plans-stats", 20, 2)
+    GraftPlans.install(spark)
+    // the un-rewritten leaf must report the snapshot's real (scaled) size,
+    // not the legacy 1 GiB placeholder
+    val snap = t.currentSnapshot.get
+    val leafStats = graft.plans.GraftTableScan(t.root, Some(snap.id),
+      Bridge.planOf(GraftPlans.scan(spark, t)).output,
+      sizeInBytes = snap.manifests.map(_.bytes).sum,
+      rowCount = snap.manifests.map(_.rows).sum).computeStats()
+    assert(snap.manifests.map(_.bytes).sum > 0,
+      "manifest refs must persist byte sums")
+    assert(leafStats.sizeInBytes < (BigInt(64) << 20),
+      s"tiny table must not report 1 GiB: ${leafStats.sizeInBytes}")
+    assert(leafStats.rowCount.exists(_ > 0))
+    // and a join against the (tiny) lake view must plan a broadcast join
+    import spark.implicits._
+    val big = spark.range(0, 50000)
+      .select(concat(lit("c"), lpad(col("id").cast("string"), 8, "0")).as("conv_id"),
+        col("id").as("payload"))
+    val joined = big.join(GraftPlans.scan(spark, t), Seq("conv_id"))
+    joined.count()
+    val plan = Bridge.explainFormatted(joined)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small lake side must broadcast; got plan:\n$plan")
+  }
+
+  test("column pruning reaches the parquet reader through the SQL scan path") {
+    val t = freshTable("plans-prune-cols", 100, 10)
+    GraftPlans.install(spark)
+    GraftPlans.scan(spark, t).createOrReplaceTempView("transcripts_prune")
+    val df = spark.sql(
+      """SELECT conv_id FROM transcripts_prune
+        |WHERE conv_id BETWEEN 'c00000010' AND 'c00000019'""".stripMargin)
+    df.count()
+    val readSchemas = Bridge.executedPlanOf(df).collect {
+      case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSeq
+    }
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(_ == Seq("conv_id")),
+      s"a 1-column projection must read ONLY that column: $readSchemas")
+  }
+
+  test("SQL time travel: versioned view sees the pinned snapshot only") {
+    val t = freshTable("plans-travel", 30, 3)
+    val v1 = t.currentSnapshotId.get
+    val v1Rows = t.scan().df.count()
+    // commit a second version with more data
+    t.append(TranscriptSynth.turns(spark, 10, seed = 43L)
+      .withColumn("conv_id", concat(lit("x"), col("conv_id"))), "more")
+    GraftPlans.registerTable(spark, t, "travel_t")
+    GraftPlans.registerAsOf(spark, t, "travel_t_v1", snapshotId = Some(v1))
+    assert(spark.sql("SELECT count(*) FROM travel_t_v1").head().getLong(0) == v1Rows)
+    assert(spark.sql("SELECT count(*) FROM travel_t").head().getLong(0) > v1Rows)
+    // snapshots view lists the committed history newest-first
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation, n_rows FROM travel_t_snapshots").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == snaps.map(_.getLong(0)).sorted.reverse.toSeq)
+    assert(snaps.exists(_.getString(1) == "append"))
+    // TIMESTAMP AS OF resolves through the committed history
+    val ts1 = t.snapshot(v1).timestampMs
+    GraftPlans.registerAsOf(spark, t, "travel_t_ts", asOfTsMs = Some(ts1))
+    assert(spark.sql("SELECT count(*) FROM travel_t_ts").head().getLong(0) == v1Rows)
+  }
 }
