@@ -303,8 +303,17 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager), NOT persist: each round's plan references the
+    // previous round's frame TWICE (neighbor join + label join), so without
+    // lineage TRUNCATION the logical plan doubles per round — by round ~20
+    // the driver OOMs just STRINGIFYING the tree for the SQL listener
+    // (persist caches blocks but leaves the logical lineage intact). The
+    // checkpoint materializes the round — it IS the convergence action —
+    // and superseded rounds' blocks are released by the ContextCleaner as
+    // their frames go out of scope (bounded: rounds x |ids| rows,
+    // MEMORY_AND_DISK).
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("grp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
@@ -316,17 +325,16 @@ object Dedup {
         .select(col("id"), newGrp.as("__grp_next"),
           (newGrp =!= col("grp")).as("__chg"))
         .withColumnRenamed("__grp_next", "grp")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // one action: materializes the round's cache and counts changes
+        .localCheckpoint(true)
+      // one job on the checkpointed blocks counts the changes
       val changed = next.agg(count(when(col("__chg"), lit(1)))).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
     val out = materializeAndRelease(
-      labels.select(col("id").as(idCol), col("grp").as("group_id")), labels)
+      labels.select(col("id").as(idCol), col("grp").as("group_id")))
     GroupsResult(out, converged, i)
   }
 
@@ -373,14 +381,30 @@ object Dedup {
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 200): DataFrame =
+    minhashPairsFromSignatures(
+      df.select(col(idCol),
+        minhashSignatureNative(col(textCol), shingleK, numHashes).as("__sig")),
+      idCol, "__sig", numHashes, bands, maxBucket)
+
+  /** The banding/join half of [[minhashCandidatePairs]], over PRECOMPUTED
+    * signatures — the seam that lets lake-persisted per-file sketch columns
+    * ([[graft.maintain.Sketches]]) feed candidate generation without
+    * recomputing a single signature: at corpus scale the sketch build is
+    * the dominant cost of a dedup pass, and it only needs to happen once
+    * per immutable data file, not once per pass.
+    */
+  def minhashPairsFromSignatures(
+      withSig: DataFrame, idCol: String, sigCol: String,
+      numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, s"bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // persist: the signature frame feeds five consumers below — see
     // simhashCandidatePairs. Signatures come from the NATIVE kernel (one
     // codegen'd pass per row, no shingle explode, no groupBy stage —
     // bit-identical to the explode->min shape, pinned by DedupSpec).
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignatureNative(col(textCol), shingleK, numHashes).as("sig"))
+    val sig = withSig.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one banded row per DISTINCT signature

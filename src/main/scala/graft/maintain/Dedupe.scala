@@ -177,19 +177,19 @@ object Dedupe {
   private[maintain] def computeVictims(table: LakeTable, mode: String,
                                        minTokens: Int): DataFrame = {
     val spark = table.spark
-    val paths = table.currentFiles.map(f => table.absData(f.path))
-    require(paths.nonEmpty, s"no data files to dedupe at ${table.root}")
-    val rows = spark.read.schema(table.schema.toStruct).parquet(paths: _*)
-      .select(col("conv_id"), col("turn_idx"), col("text"),
-        // provenance as a TABLE-RELATIVE path, matching manifest entries
-        concat(lit("data/"),
-          element_at(split(input_file_name(), "/"), -1)).as("__src"))
-      .withColumn("__tn", Dedup.normalizedText(col("text")))
-      .where(length(col("__tn")) > 0 &&
-        size(split(col("__tn"), " ")) >= minTokens)
+    require(table.currentFiles.nonEmpty, s"no data files to dedupe at ${table.root}")
 
     mode match {
       case "exact" =>
+        val paths = table.currentFiles.map(f => table.absData(f.path))
+        val rows = spark.read.schema(table.schema.toStruct).parquet(paths: _*)
+          .select(col("conv_id"), col("turn_idx"), col("text"),
+            // provenance as a TABLE-RELATIVE path, matching manifest entries
+            concat(lit("data/"),
+              element_at(split(input_file_name(), "/"), -1)).as("__src"))
+          .withColumn("__tn", Dedup.normalizedText(col("text")))
+          .where(length(col("__tn")) > 0 &&
+            size(split(col("__tn"), " ")) >= minTokens)
         // keeper per identical normalized text: one map-side-combining
         // shuffle keyed on the 64-bit text hash (tiny shuffle key; the
         // within-group min re-checks nothing because the FULL normalized
@@ -206,21 +206,29 @@ object Dedupe {
           .select("conv_id", "turn_idx", "__src")
 
       case "minhash" =>
-        // near-dup groups over a composite string key ("\u0001" separator
-        // — never occurs in conv ids); the label propagation keeps the key
+        // Signatures come from the LAKE-MANAGED SKETCH STORE ([[Sketches]]):
+        // only data files added since the last sketched pass compute
+        // anything — the corpus-scale hash pass happens once per immutable
+        // file, not once per dedup pass. Sketches are built over the
+        // NORMALIZED text — the same equivalence the exact mode groups on —
+        // so exact duplicates differing only in case/whitespace are
+        // guaranteed candidates (identical signature, all bands shared).
+        val sk = Sketches.ensure(table)
+        // near-dup groups over a composite string key ("\u0001" separator —
+        // never occurs in conv ids); the label propagation keeps the key
         // type, no long cast (see dedupGroups). Keeper = lexicographically
         // smallest key: deterministic (numeric turn order within a conv is
         // not required, only a stable canonical pick).
-        val keyed = rows.withColumn("__k",
-          concat_ws("\u0001", col("conv_id"), col("turn_idx").cast("string")))
-        // sketch the NORMALIZED text — same equivalence the exact mode
-        // groups on, so exact duplicates differing only in case/whitespace
-        // are guaranteed candidates (identical signature, all bands shared)
-        val pairs = Dedup.minhashCandidatePairs(keyed, "__k", "__tn")
+        val keyed = sk.sketches
+          .where(col("n_tokens") >= math.max(1, minTokens))
+          .withColumn("__k",
+            concat_ws("\u0001", col("conv_id"), col("turn_idx").cast("string")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = Dedup.minhashPairsFromSignatures(keyed, "__k", "minhash")
         val r = Dedup.dedupGroupsResult(keyed.select("__k"), "__k",
           pairs.select("id_a", "id_b"))
         if (!r.converged) {
-          pairs.unpersist(); r.groups.unpersist()
+          keyed.unpersist(); pairs.unpersist(); r.groups.unpersist()
           throw new IllegalStateException(
             "dedupe(minhash): label propagation did not converge — refusing " +
               "to delete rows based on partial duplicate groups; raise " +
@@ -233,7 +241,7 @@ object Dedupe {
           .select("conv_id", "turn_idx", "__src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
-        pairs.unpersist(); r.groups.unpersist()
+        keyed.unpersist(); pairs.unpersist(); r.groups.unpersist()
         out
     }
   }

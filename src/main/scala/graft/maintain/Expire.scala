@@ -198,6 +198,12 @@ object OrphanGc {
         }
       } finally stream.close()
     }
+
+    // ---- sketch sweep ----------------------------------------------------
+    // per-file sketch dirs mirror immutable data files; once the data file
+    // is unreferenced (expired/superseded), its sketches are dead weight
+    Sketches.sweepOrphans(table, referenced, oldEnough, deletedMeta, failures)
+
     Result(deleted.result(), failures.result(), deletedMeta.result())
   }
 }

@@ -208,6 +208,55 @@ class LakeSpec extends AnyFunSuite {
     assert(after == (0 until 40).filterNot(_ % 4 == 1).map(i => f"c$i%03d").toSet)
   }
 
+  test("sketches: computed once per immutable file, incremental thereafter") {
+    val t = LakeTable.create(spark, tmpTable("sketches"), TranscriptSynth.schema)
+    t.append(synth(20).repartitionByRange(4, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+
+    val p1 = Sketches.ensure(t)
+    assert(p1.totalFiles == 4 && p1.computedFiles == 4)
+    assert(p1.sketches.count() == t.scan().df.count(),
+      "one sketch row per table row")
+    // sketch rows carry real signatures + token counts
+    val row = p1.sketches.where(col("n_tokens") > 0).head()
+    assert(row.getAs[scala.collection.Seq[Long]]("minhash").length == 32)
+
+    // pass 2 over the unchanged corpus: ZERO sketch compute
+    val p2 = Sketches.ensure(t)
+    assert(p2.computedFiles == 0, "unchanged corpus must recompute nothing")
+
+    // a drop adds files; only THEY compute
+    t.append(synth(5).withColumn("conv_id", concat(lit("z"), col("conv_id")))
+      .repartitionByRange(2, col("conv_id"), col("turn_idx")), "more")
+    val p3 = Sketches.ensure(t)
+    assert(p3.computedFiles == 2 && p3.totalFiles == 6,
+      s"only the appended files sketch; computed ${p3.computedFiles}")
+
+    // params are pinned store-wide
+    intercept[IllegalArgumentException] {
+      Sketches.ensure(t, Sketches.Params(shingleK = 5))
+    }
+  }
+
+  test("sketches: orphan sweep removes dirs of unreferenced data files only") {
+    val t = LakeTable.create(spark, tmpTable("sketches-gc"), TranscriptSynth.schema)
+    t.append(synth(20).repartition(6), "init")
+    Sketches.ensure(t)
+    val before = LakeTable.listDir(Paths.get(t.root, "sketches"))
+      .count(java.nio.file.Files.isDirectory(_))
+    assert(before == 6)
+
+    // compaction supersedes the small files; expiry drops the old snapshot
+    Compaction.compact(t, "sg-compact", smallFileBytes = 1L << 30, targetBytes = 1L << 30)
+    Sketches.ensure(t) // sketch the compacted output too
+    Expire.expire(t, retainLast = 1)
+    val gc = OrphanGc.removeOrphans(t, olderThanMs = 0L, adoptGuardMs = 0L)
+    assert(gc.deletedMeta.count(_.startsWith("sketches/")) == 6,
+      s"superseded files' sketches swept: ${gc.deletedMeta}")
+    // current file's sketches survive and still cover the table
+    assert(Sketches.ensure(t).computedFiles == 0)
+  }
+
   test("compaction: many small files bin-packed, content identical") {
     val t = LakeTable.create(spark, tmpTable("compact"), TranscriptSynth.schema)
     val data = synth(60)
