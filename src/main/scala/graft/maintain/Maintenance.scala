@@ -29,16 +29,27 @@ object Maintenance {
       cluster: Clustering.Result,
       expire: Expire.Result,
       orphans: OrphanGc.Result,
-      ledger: Ledger.ExpireResult) {
+      ledger: Ledger.ExpireResult,
+      dedupe: Option[Dedupe.Result] = None) {
     def summary: String =
       s"compact: ${compact.bins} bins (${compact.filesCompacted} files); " +
         s"cluster: ${cluster.groups} groups, ${cluster.rowsRewritten} rows; " +
+        dedupe.map(d => s"dedupe: ${d.duplicateRows} dup rows from " +
+          s"${d.touchedFiles} files; ").getOrElse("") +
         s"expire: ${expire.expiredSnapshots.size} snapshots, " +
         s"${expire.deletedDataFiles.size} data files; " +
         s"orphans: ${orphans.deleted.size} swept; " +
         s"ledger: ${ledger.deletedJobs.size} old job dirs swept"
   }
 
+  /** `dedupeMode`: Some("exact"|"minhash") inserts a [[Dedupe.runPass]]
+    * between compaction and clustering — dedup FIRST removes rows, so the
+    * recluster that follows only lays out surviving data, and the pass's
+    * rewritten files are exactly the "new drop debris" clustering treats
+    * as dirty slabs. In minhash mode the pass reads the per-file sketch
+    * store ([[Sketches]]), whose cost is only the files added since the
+    * previous cycle.
+    */
   def runCycle(table: LakeTable, cycleId: String,
                smallFileBytes: Long = 32L << 20,
                targetBytes: Long = 128L << 20,
@@ -46,7 +57,8 @@ object Maintenance {
                groupTargetBytes: Long = 256L << 20,
                retainLast: Int = 5,
                retentionMs: Option[Long] = Some(24L * 3600 * 1000),
-               orphanGraceMs: Long = 24L * 3600 * 1000): CycleReport = {
+               orphanGraceMs: Long = 24L * 3600 * 1000,
+               dedupeMode: Option[String] = None): CycleReport = {
     // Never re-pack files the last clustering placed: compacting clean
     // slabs would dirty them all and turn the next recluster from
     // incremental into full — the cycle's compaction is for NEW drop debris.
@@ -55,6 +67,9 @@ object Maintenance {
     val compacted = Compaction.compact(table, s"$cycleId-compact",
       smallFileBytes = smallFileBytes, targetBytes = targetBytes,
       excludePaths = clusteredClean)
+    val deduped = dedupeMode.map(m =>
+      Dedupe.runPass(table, s"$cycleId-dedupe", mode = m,
+        groupTargetBytes = groupTargetBytes))
     val clustered = Clustering.cluster(table, s"$cycleId-cluster",
       targetFileRows = targetFileRows, groupTargetBytes = groupTargetBytes)
     val expired = Expire.expire(table, retainLast = retainLast,
@@ -63,6 +78,6 @@ object Maintenance {
     // ledger dirs of committed jobs past the grace age: bounded ledger size
     // (resume/idempotence for a finished job only matters within a cadence)
     val ledger = Ledger.expireJobs(table, olderThanMs = orphanGraceMs)
-    CycleReport(compacted, clustered, expired, orphans, ledger)
+    CycleReport(compacted, clustered, expired, orphans, ledger, deduped)
   }
 }

@@ -845,6 +845,39 @@ class LakeSpec extends AnyFunSuite {
     assert(!full2.rebuilt && full2.path == v2.path)
   }
 
+  test("maintenance cycle with dedupe: duplicates removed before recluster") {
+    val t = LakeTable.create(spark, tmpTable("cycle-dd"), TranscriptSynth.schema)
+    // plant duplicates: copy 30 conversations' texts into new z-prefixed
+    // conversations (the base synth at this size rarely collides naturally)
+    val base = synth(100)
+    val copies = base.where(col("conv_id") < "c00000030")
+      .withColumn("conv_id", concat(lit("z"), col("conv_id")))
+    val data = base.unionByName(copies)
+    t.append(data.repartition(8), "init")
+    val pre = t.scan().df.count()
+    // independent expectation: the tiny vocab makes short texts collide, so
+    // survivors == distinct normalized texts (no empty texts in the synth)
+    val expectedSurvivors = data
+      .select(graft.functions.Dedup.normalizedText(col("text")).as("tn"))
+      .distinct().count()
+
+    val r = Maintenance.runCycle(t, "cyc-dd", targetFileRows = 100,
+      groupTargetBytes = 64L << 10, retainLast = 2,
+      dedupeMode = Some("exact"))
+    assert(r.dedupe.exists(_.duplicateRows > 0), "synth corpus must contain dups")
+    val post = t.scan().df.count()
+    assert(post == expectedSurvivors, s"$post survivors vs $expectedSurvivors distinct texts")
+    assert(post == pre - r.dedupe.get.duplicateRows)
+    // post-dedupe layout still meets the prune bar (cluster ran after)
+    assert(t.scan(convRange = Some(("c00000010", "c00000019"))).prune.ratio >= 0.5)
+
+    // idempotent re-run: dedupe finds nothing, content unchanged
+    val rb = Maintenance.runCycle(t, "cyc-dd2", targetFileRows = 100,
+      groupTargetBytes = 64L << 10, retainLast = 2,
+      dedupeMode = Some("exact"))
+    assert(rb.dedupe.get.duplicateRows == 0 && t.scan().df.count() == post)
+  }
+
   test("maintenance cycle: compact+cluster+expire+gc in one idempotent call") {
     import spark.implicits._
     val t = LakeTable.create(spark, tmpTable("cycle"), TranscriptSynth.schema)
