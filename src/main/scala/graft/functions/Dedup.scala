@@ -143,6 +143,20 @@ object Dedup {
   def simhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 200): DataFrame =
+    simhashPairsFromFingerprints(
+      df.select(col(idCol), simhash64Native(col(textCol)).as("__fp")),
+      idCol, "__fp", bands, maxHamming, maxBucket)
+
+  /** The banded-Hamming join half of [[simhashCandidatePairs]], over
+    * PRECOMPUTED 64-bit fingerprints — the seam for lake-persisted sketch
+    * columns ([[graft.maintain.Sketches]]), mirroring
+    * [[minhashPairsFromSignatures]]: candidate generation without
+    * re-hashing a single token.
+    */
+  def simhashPairsFromFingerprints(
+      withFp: DataFrame, idCol: String, fpCol: String,
+      bands: Int = 4, maxHamming: Int = 3,
       maxBucket: Int = 200): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
@@ -154,8 +168,7 @@ object Dedup {
     // Fingerprints come from the NATIVE kernel (one codegen'd pass in the
     // projection, no explode/shuffle — bit-identical to simhashDf, which
     // q16's oracle cross-checks against it corpus-wide).
-    val fp = df
-      .select(col(idCol).as("id"), simhash64Native(col(textCol)).as("simhash"))
+    val fp = withFp.select(col(idCol).as("id"), col(fpCol).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // One row per DISTINCT fingerprint; members expand at the end.

@@ -21,10 +21,16 @@ import graft.lake.{DataFile, LakeTable, Snapshot}
   * Modes:
   *   - `exact` (default): groups are identical normalized text (lower,
   *     collapsed whitespace) — one groupBy, no candidate generation;
-  *   - `minhash`: near-duplicate groups from MinHash-LSH candidate pairs +
-  *     min-key label propagation ([[Dedup.dedupGroupsResult]]). The pass
-  *     REFUSES to delete when propagation did not converge (partial groups
-  *     must never drive deletions).
+  *   - `minhash`: near-duplicate groups from MinHash-LSH candidate pairs
+  *     (shingle-Jaccard similarity) + min-key label propagation
+  *     ([[Dedup.dedupGroupsResult]]);
+  *   - `simhash`: near-duplicate groups from the banded-Hamming join over
+  *     the stored 64-bit fingerprints (Hamming distance <= 3).
+  *
+  * Both near-dup modes read the lake-managed per-file sketch store
+  * ([[Sketches]]) — zero signature recompute for already-covered files —
+  * and REFUSE to delete when label propagation did not converge (partial
+  * groups must never drive deletions).
   *
   * Scale shape (10^12 turns): the victim set is computed in one corpus
   * pass (groupBy on the text hash / LSH banding — both map-side-combining
@@ -54,7 +60,7 @@ object Dedupe {
               targetFileRows: Long = 1L << 20,
               groupTargetBytes: Long = 256L << 20,
               interruptAfter: Int = Int.MaxValue): Result = {
-    require(mode == "exact" || mode == "minhash", s"unknown dedupe mode $mode")
+    require(Set("exact", "minhash", "simhash")(mode), s"unknown dedupe mode $mode")
     val spark = table.spark
 
     Ledger.committedJobSnapshot(table, jobId, "dedupe").foreach { s =>
@@ -205,14 +211,15 @@ object Dedupe {
           .where(struct(col("conv_id"), col("turn_idx")) =!= col("__keep"))
           .select("conv_id", "turn_idx", "__src")
 
-      case "minhash" =>
+      case "minhash" | "simhash" =>
         // Signatures come from the LAKE-MANAGED SKETCH STORE ([[Sketches]]):
         // only data files added since the last sketched pass compute
         // anything — the corpus-scale hash pass happens once per immutable
         // file, not once per dedup pass. Sketches are built over the
         // NORMALIZED text — the same equivalence the exact mode groups on —
         // so exact duplicates differing only in case/whitespace are
-        // guaranteed candidates (identical signature, all bands shared).
+        // guaranteed candidates (identical signature/fingerprint, every
+        // band shared).
         val sk = Sketches.ensure(table)
         // near-dup groups over a composite string key ("\u0001" separator —
         // never occurs in conv ids); the label propagation keeps the key
@@ -224,13 +231,20 @@ object Dedupe {
           .withColumn("__k",
             concat_ws("\u0001", col("conv_id"), col("turn_idx").cast("string")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = Dedup.minhashPairsFromSignatures(keyed, "__k", "minhash")
+        // minhash: shingle-Jaccard similarity via LSH banding over the
+        // stored signatures; simhash: banded-Hamming join (distance <= 3)
+        // over the stored 64-bit fingerprints — both pure candidate joins,
+        // zero re-hashing
+        val pairs =
+          if (mode == "minhash")
+            Dedup.minhashPairsFromSignatures(keyed, "__k", "minhash")
+          else Dedup.simhashPairsFromFingerprints(keyed, "__k", "simhash")
         val r = Dedup.dedupGroupsResult(keyed.select("__k"), "__k",
           pairs.select("id_a", "id_b"))
         if (!r.converged) {
           keyed.unpersist(); pairs.unpersist(); r.groups.unpersist()
           throw new IllegalStateException(
-            "dedupe(minhash): label propagation did not converge — refusing " +
+            s"dedupe($mode): label propagation did not converge — refusing " +
               "to delete rows based on partial duplicate groups; raise " +
               "maxIters or investigate the candidate graph")
         }

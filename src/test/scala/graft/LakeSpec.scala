@@ -173,14 +173,16 @@ class LakeSpec extends AnyFunSuite {
     assert(noop.snapshot.id == snapAfter && t.currentSnapshotId.get == snapAfter)
   }
 
-  test("dedupe: minhash mode removes the same exact duplicates") {
-    val t = dedupeTable("dedupe-minhash")
-    val res = Dedupe.runPass(t, "ddm", mode = "minhash")
-    assert(res.duplicateRows == 2 && res.converged)
-    val after = t.scan().df.select("conv_id", "turn_idx")
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
-    assert(after == Set(("c001", 0), ("c001", 1), ("c004", 0),
-      ("c005", 0), ("c006", 0)))
+  test("dedupe: minhash and simhash modes remove the same exact duplicates") {
+    for (mode <- Seq("minhash", "simhash")) {
+      val t = dedupeTable(s"dedupe-$mode")
+      val res = Dedupe.runPass(t, s"dd-$mode", mode = mode)
+      assert(res.duplicateRows == 2 && res.converged, s"mode $mode")
+      val after = t.scan().df.select("conv_id", "turn_idx")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(after == Set(("c001", 0), ("c001", 1), ("c004", 0),
+        ("c005", 0), ("c006", 0)), s"mode $mode: $after")
+    }
   }
 
   test("dedupe: interrupted pass resumes from the ledger, result identical") {
