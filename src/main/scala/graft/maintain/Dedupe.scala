@@ -138,9 +138,18 @@ object Dedupe {
             // anti-join proportional to the group, not the whole pass
             val groupVictims = victims.where(col("__src").isin(paths: _*))
               .select("conv_id", "turn_idx")
+            // range-repartition on the key before writing: if the anti-join
+            // shuffled (hash on key), the survivors would otherwise land in
+            // hash-partitioned output files whose conv ranges span the whole
+            // group — wide min/max stats that gut pruning until the next
+            // recluster. The group is a conv-contiguous slab, so this is a
+            // small intra-slab exchange and the outputs keep TIGHT ranges.
+            val survivors = rows - groupVictims.count()
+            val nOut = math.max(1, math.ceil(survivors.toDouble / targetFileRows).toInt)
             val df = spark.read.schema(table.schema.toStruct)
               .parquet(paths.map(table.absData): _*)
               .join(groupVictims, Seq("conv_id", "turn_idx"), "left_anti")
+              .repartitionByRange(nOut, col("conv_id"), col("turn_idx"))
               .sortWithinPartitions("conv_id", "turn_idx")
             val out = table.writeDataFiles(df, s"$jobId-g$gi")
             Ledger.writeTask(table, Ledger.TaskRow(jobId, gi, "done", paths,

@@ -208,6 +208,10 @@ class LakeSpec extends AnyFunSuite {
     assert(resumed.duplicateRows == 10)
     val after = t.scan().df.select("conv_id").as[String].collect().toSet
     assert(after == (0 until 40).filterNot(_ % 4 == 1).map(i => f"c$i%03d").toSet)
+    // rewrite outputs keep TIGHT conv ranges (range-repartitioned before
+    // write), so range scans still prune after a standalone dedupe pass
+    val pr = t.scan(convRange = Some(("c000", "c004"))).prune
+    assert(pr.ratio >= 0.5, s"dedupe output must stay prunable: ${pr.ratio}")
   }
 
   test("sketches: computed once per immutable file, incremental thereafter") {
