@@ -155,7 +155,13 @@ object Sketches {
     if (!Files.exists(store)) return
     LakeTable.listDir(store).filter(Files.isDirectory(_)).foreach { d =>
       val name = d.getFileName.toString
-      if (!name.startsWith("_") && !referencedData(s"data/$name")) {
+      // a data file's mirror dir is sweepable once the file is unreferenced;
+      // a `_staging-*` dir is a CRASHED ensure()'s residue (a live one is
+      // younger than any sane grace age) — `_meta.json` is a file, untouched
+      val sweepable =
+        if (name.startsWith("_staging-")) true
+        else !name.startsWith("_") && !referencedData(s"data/$name")
+      if (sweepable) {
         try if (oldEnough(d)) {
           LakeTable.deleteRecursively(d); deleted += s"sketches/$name"
         } catch { case e: Exception => failures += s"sketches/$name: ${e.getMessage}" }

@@ -256,9 +256,13 @@ class LakeSpec extends AnyFunSuite {
     Compaction.compact(t, "sg-compact", smallFileBytes = 1L << 30, targetBytes = 1L << 30)
     Sketches.ensure(t) // sketch the compacted output too
     Expire.expire(t, retainLast = 1)
+    // plant a crashed ensure()'s staging residue: swept past the grace age
+    val crashed = Paths.get(t.root, "sketches", "_staging-deadbeef")
+    java.nio.file.Files.createDirectories(crashed)
     val gc = OrphanGc.removeOrphans(t, olderThanMs = 0L, adoptGuardMs = 0L)
-    assert(gc.deletedMeta.count(_.startsWith("sketches/")) == 6,
-      s"superseded files' sketches swept: ${gc.deletedMeta}")
+    assert(gc.deletedMeta.count(_.startsWith("sketches/")) == 7,
+      s"superseded files' sketches + crashed staging swept: ${gc.deletedMeta}")
+    assert(!java.nio.file.Files.exists(crashed))
     // current file's sketches survive and still cover the table
     assert(Sketches.ensure(t).computedFiles == 0)
   }
