@@ -29,9 +29,12 @@ object DedupeIncrementalBench {
 
   def main(args: Array[String]): Unit = {
     val nConvs = if (args.nonEmpty) args(0).toInt else 20000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      // shuffle partitions scale with cores so a taskset-pinned small run
+      // is a faithful small-cluster stand-in (same rule as ScalingBench)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
