@@ -67,6 +67,13 @@ object Dedupe {
       return Result(s, 0L, 0, 0, 0, converged = true)
     }
 
+    // empty table: nothing to dedupe — a no-op, not an error, so a
+    // maintenance cycle with dedupe enabled runs cleanly on a fresh table
+    if (table.currentFiles.isEmpty)
+      return Result(table.currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"no table at ${table.root}")),
+        0L, 0, 0, 0, converged = true)
+
     val jobDir = table.ledgerDir.resolve(jobId)
     val victimsDir = jobDir.resolve("victims.parquet")
 

@@ -185,6 +185,12 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupe: empty table is a clean no-op") {
+    val t = LakeTable.create(spark, tmpTable("dedupe-empty"), TranscriptSynth.schema)
+    val r = Dedupe.runPass(t, "dde")
+    assert(r.duplicateRows == 0 && t.currentSnapshotId.get == r.snapshot.id)
+  }
+
   test("dedupe: interrupted pass resumes from the ledger, result identical") {
     import spark.implicits._
     val t = LakeTable.create(spark, tmpTable("dedupe-resume"), TranscriptSynth.schema)
