@@ -62,14 +62,21 @@ object LakeDemo {
       .where(col("turn_idx") <= 1).orderBy("turn_idx")
       .select("conv_id", "turn_idx", "text").show(false)
 
-    // a second drop, then ONE maintenance-cycle call (the cron analogue):
-    // compact new debris, incrementally recluster the dirty slab, expire, GC
-    val staged2 = Seq(("c00000042", "0", "user", "second drop", "", 200L))
-      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+    // a second drop (with a planted duplicate-text turn), then ONE
+    // maintenance-cycle call (the cron analogue): compact new debris,
+    // DEDUPE duplicate texts (sketch-store-backed), incrementally recluster
+    // the dirty slab, expire, GC
+    val staged2 = Seq(
+      ("c00000042", "0", "user", "second drop", "", 200L),
+      ("c88888888", "0", "user", "brand new conversation", "", 201L) // dup of c77777777/0
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
     MergeInto.merge(t, staged2, "drop-b")
     val cyc = Maintenance.runCycle(t, "cycle-1", targetFileRows = 2000,
-      groupTargetBytes = 64L << 10, retainLast = 3)
+      groupTargetBytes = 64L << 10, retainLast = 3,
+      dedupeMode = Some("minhash"))
     println(s"[lake] cycle: ${cyc.summary}")
+    println(s"[lake] dup of c77777777/0 deduped: " +
+      s"${t.scan(convRange = Some(("c88888888", "c88888888"))).df.count()} rows remain for c88888888")
 
     ManifestRewrite.rewrite(t, entriesPerManifest = 5)
     val ex = Expire.expire(t, retainLast = 1)
