@@ -23,6 +23,7 @@ object Bench {
     val tFix = System.nanoTime()
     LakeFixtures.forDir(spark, sfDir)
     LakeFixtures.dedupForDir(spark, sfDir) // q34's one-time dedupe pass
+    LakeFixtures.dedupConvForDir(spark, sfDir) // q36's conversation-unit pass
     val fixtureSec = (System.nanoTime() - tFix) / 1e9
 
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")

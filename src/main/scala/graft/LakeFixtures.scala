@@ -82,6 +82,32 @@ object LakeFixtures {
       t
     })
 
+  private val dedupConvCache = scala.collection.concurrent.TrieMap.empty[String, LakeTable]
+
+  /** A THIRD lake table per sfDir for conversation-unit dedup (q36): the
+    * transcripts plus z-prefixed EXACT COPIES of the first 50 conversations,
+    * then `Dedupe.runPass(unit = "conversation")` — the pass must remove
+    * exactly the planted copies (keeper = smaller conv_id) and nothing
+    * else, so the surviving row set equals the original transcripts.
+    */
+  def dedupConvForDir(spark: SparkSession, sfDir: String): LakeTable =
+    dedupConvCache.getOrElseUpdate(sfDir, {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = Paths.get("target", "lakededupconv", tag).toString
+      LakeTable.deleteRecursively(Paths.get(root))
+      val t = LakeTable.create(spark, root,
+        org.apache.spark.sql.types.StructType(graft.synth.TranscriptSynth.schema))
+      val base = transcripts(spark, sfDir)
+      val copies = base.where(col("conv_id") < "u000050")
+        .withColumn("conv_id", concat(lit("z"), col("conv_id")))
+      t.append(base.unionByName(copies)
+        .repartitionByRange(8, col("conv_id"), col("turn_idx")), s"cload-$tag")
+      graft.maintain.Dedupe.runPass(t, s"dedupe-conv-$tag",
+        unit = "conversation", targetFileRows = 4000)
+      t
+    })
+
   def forDir(spark: SparkSession, sfDir: String): Fixture = cache.getOrElseUpdate(sfDir, {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = Paths.get("target", "lakeq", tag).toString

@@ -389,6 +389,16 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // Conversation-unit dedup: whole conversations whose concatenated
+    // normalized text duplicates another's are removed entirely (planted
+    // z-prefixed copies of 50 conversations); the survivors must be EXACTLY
+    // the original transcripts — one extra or missing row breaks the hash.
+    "q36_dedupe_conversations" -> ((s, d) => {
+      val t = LakeFixtures.dedupConvForDir(s, d)
+      t.scan().df.select(col("conv_id"), col("turn_idx"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // SQL time travel: `VERSION AS OF` as a registered view over the
     // custom leaf pinned at the pre-merge snapshot — a pure-SQL user reads
     // the pre-correction table exactly as q20's programmatic scan does
@@ -692,6 +702,15 @@ object SparkEntry {
     "q20_lake_snapshot_isolation" -> transcriptSql(corrected = false),
     // SQL VERSION AS OF view == the programmatic pinned scan (q20)
     "q35_sql_time_travel" -> transcriptSql(corrected = false),
+
+    // conversation-unit dedup removes exactly the planted copies, so the
+    // survivors are the plain transcript row set
+    "q36_dedupe_conversations" ->
+      """WITH tr AS (
+        |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx
+        |  FROM events)
+        |SELECT conv_id, turn_idx FROM tr ORDER BY conv_id, turn_idx""".stripMargin,
 
     // survivors of the dedupe pass = the min-(conv_id,turn_idx) row of
     // every identical-normalized-text partition (empty texts all survive)

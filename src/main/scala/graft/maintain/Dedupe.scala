@@ -57,10 +57,12 @@ object Dedupe {
   def runPass(table: LakeTable, jobId: String,
               mode: String = "exact",
               minTokens: Int = 1,
+              unit: String = "turn",
               targetFileRows: Long = 1L << 20,
               groupTargetBytes: Long = 256L << 20,
               interruptAfter: Int = Int.MaxValue): Result = {
     require(Set("exact", "minhash", "simhash")(mode), s"unknown dedupe mode $mode")
+    require(Set("turn", "conversation")(unit), s"unknown dedupe unit $unit")
     val spark = table.spark
 
     Ledger.committedJobSnapshot(table, jobId, "dedupe").foreach { s =>
@@ -89,7 +91,9 @@ object Dedupe {
           s"dedupe plan for $jobId exists but its victim set is missing")
         p
       case None =>
-        val victims = computeVictims(table, mode, minTokens)
+        val victims =
+          if (unit == "conversation") computeConvVictims(table, mode, minTokens)
+          else computeVictims(table, mode, minTokens)
         // atomic publish: write to a tmp dir, move over — a crash mid-write
         // can never leave a torn victim set a resume would trust
         val tmp = jobDir.resolve("victims.parquet.tmp")
@@ -274,5 +278,77 @@ object Dedupe {
         keyed.unpersist(); pairs.unpersist(); r.groups.unpersist()
         out
     }
+  }
+
+  /** Victim rows for `unit = "conversation"`: whole conversations whose
+    * CONCATENATED normalized text duplicates another conversation's are
+    * removed entirely (all their turns), keeping the smallest conv_id —
+    * the dedup granularity a training pipeline usually wants for dialog
+    * data, where a turn repeated WITHIN one conversation ("ok", a retried
+    * tool call) is structure, not redundancy.
+    *
+    * Shape: one groupBy(conv_id) assembles each conversation's ordered
+    * text (a conversation fits a task trivially; the hot-conv skew the
+    * synth plants is thousands of turns, not billions), then the turn-level
+    * machinery runs on the ~|convs|-sized frame. Conversation sketches are
+    * computed fresh — the per-file store is per-turn; a conv-level store
+    * would go stale on any merge touching the conversation.
+    */
+  private[maintain] def computeConvVictims(table: LakeTable, mode: String,
+                                           minTokens: Int): DataFrame = {
+    val spark = table.spark
+    val paths = table.currentFiles.map(f => table.absData(f.path))
+    val rows = spark.read.schema(table.schema.toStruct).parquet(paths: _*)
+      .select(col("conv_id"), col("turn_idx"),
+        concat(lit("data/"),
+          element_at(split(input_file_name(), "/"), -1)).as("__src"),
+        Dedup.normalizedText(col("text")).as("__tn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val conv = rows
+      .groupBy(col("conv_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("turn_idx"), col("__tn")))),
+          s => s.getField("__tn")), "\n").as("__ctext"))
+      .where(length(col("__ctext")) > 0 &&
+        size(split(col("__ctext"), "[ \n]+")) >= minTokens)
+
+    val victimConvs = mode match {
+      case "exact" =>
+        val keepers = conv
+          .groupBy(xxhash64(col("__ctext")).as("__h"), col("__ctext"))
+          .agg(min(col("conv_id")).as("__keep"), count(lit(1)).as("__n"))
+          .where(col("__n") > 1)
+          .select(col("__ctext"), col("__keep"))
+        conv.join(keepers, Seq("__ctext"))
+          .where(col("conv_id") =!= col("__keep"))
+          .select("conv_id")
+      case _ =>
+        val pairs =
+          if (mode == "minhash")
+            Dedup.minhashCandidatePairs(conv, "conv_id", "__ctext")
+          else Dedup.simhashCandidatePairs(conv, "conv_id", "__ctext")
+        val r = Dedup.dedupGroupsResult(conv.select("conv_id"), "conv_id",
+          pairs.select("id_a", "id_b"))
+        if (!r.converged) {
+          rows.unpersist(); pairs.unpersist(); r.groups.unpersist()
+          throw new IllegalStateException(
+            s"dedupe($mode, conversation): label propagation did not " +
+              "converge — refusing to delete on partial duplicate groups")
+        }
+        val v = r.groups.where(col("conv_id") =!= col("group_id"))
+          .select("conv_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        v.count()
+        pairs.unpersist(); r.groups.unpersist()
+        v
+    }
+
+    val out = rows.join(victimConvs, Seq("conv_id"))
+      .select("conv_id", "turn_idx", "__src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    rows.unpersist()
+    out
   }
 }

@@ -185,6 +185,38 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupe unit=conversation: whole-conv dups removed, intra-conv repeats kept") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    val t = LakeTable.create(spark, tmpTable("dedupe-conv"), TranscriptSynth.schema)
+    // conv a: includes an INTERNAL repeated turn ("ok" twice);
+    // conv b: byte-identical text sequence to a (a duplicated conversation);
+    // conv c: distinct
+    val rows = Seq[(String, Int, String, String, String, java.sql.Timestamp)](
+      ("a", 0, "user", "hello there", null, ts(0)),
+      ("a", 1, "assistant", "ok", null, ts(1)),
+      ("a", 2, "user", "ok", null, ts(2)),
+      ("b", 0, "user", "hello there", null, ts(3)),
+      ("b", 1, "assistant", "ok", null, ts(4)),
+      ("b", 2, "user", "ok", null, ts(5)),
+      ("c", 0, "user", "different conversation", null, ts(6)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    t.append(rows.repartitionByRange(2, col("conv_id"), col("turn_idx")), "init")
+
+    val res = Dedupe.runPass(t, "ddc", unit = "conversation")
+    assert(res.duplicateRows == 3, "all three turns of conv b are victims")
+    val after = t.scan().df.select("conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(after == Set(("a", 0), ("a", 1), ("a", 2), ("c", 0)),
+      s"conv b gone, conv a's internal repeat KEPT: $after")
+
+    // minhash mode agrees on exact conv copies
+    val t2 = LakeTable.create(spark, tmpTable("dedupe-conv-mh"), TranscriptSynth.schema)
+    t2.append(rows.repartitionByRange(2, col("conv_id"), col("turn_idx")), "init")
+    val res2 = Dedupe.runPass(t2, "ddc2", mode = "minhash", unit = "conversation")
+    assert(res2.duplicateRows == 3)
+  }
+
   test("dedupe: empty table is a clean no-op") {
     val t = LakeTable.create(spark, tmpTable("dedupe-empty"), TranscriptSynth.schema)
     val r = Dedupe.runPass(t, "dde")
