@@ -310,7 +310,7 @@ object Dedup {
     * callers that must not act on partial groups check the flag.
     */
   def dedupGroupsResult(ids: DataFrame, idCol: String, pairs: DataFrame,
-                        maxIters: Int = 20): GroupsResult = {
+                        maxIters: Int = 50): GroupsResult = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -333,8 +333,18 @@ object Dedup {
       // neighbor labels: for each edge dst, the src's current label
       val nbr = edges.join(labels.select(col("id").as("src"), col("grp")), "src")
         .groupBy(col("dst").as("id")).agg(min("grp").as("nbr_grp"))
-      val newGrp = least(col("grp"), coalesce(col("nbr_grp"), col("grp")))
-      val next = labels.join(nbr, Seq("id"), "left_outer")
+      val g1 = least(col("grp"), coalesce(col("nbr_grp"), col("grp")))
+      val cand = labels.join(nbr, Seq("id"), "left_outer")
+        .select(col("id"), col("grp"), g1.as("__g1"))
+      // POINTER JUMP: additionally adopt the label OF the label node —
+      // labels only shrink and grp(u) <= u, so this halves every chain's
+      // remaining distance per round: O(log diameter) rounds instead of
+      // O(diameter). Plain hop-propagation hit the round cap on corpus-
+      // scale near-dup graphs whose banding chains grow with corpus size.
+      val newGrp = least(col("__g1"), coalesce(col("__g2"), col("__g1")))
+      val next = cand
+        .join(labels.select(col("id").as("__g1"), col("grp").as("__g2")),
+          Seq("__g1"), "left_outer")
         .select(col("id"), newGrp.as("__grp_next"),
           (newGrp =!= col("grp")).as("__chg"))
         .withColumnRenamed("__grp_next", "grp")
@@ -356,7 +366,7 @@ object Dedup {
     * of silently returning split groups.
     */
   def dedupGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
-                  maxIters: Int = 20): DataFrame = {
+                  maxIters: Int = 50): DataFrame = {
     val r = dedupGroupsResult(ids, idCol, pairs, maxIters)
     if (!r.converged)
       System.err.println(s"[graft.dedup] WARNING: label propagation did not " +

@@ -58,6 +58,7 @@ object Dedupe {
               mode: String = "exact",
               minTokens: Int = 1,
               unit: String = "turn",
+              maxIters: Int = 50,
               targetFileRows: Long = 1L << 20,
               groupTargetBytes: Long = 256L << 20,
               interruptAfter: Int = Int.MaxValue): Result = {
@@ -92,8 +93,8 @@ object Dedupe {
         p
       case None =>
         val victims =
-          if (unit == "conversation") computeConvVictims(table, mode, minTokens)
-          else computeVictims(table, mode, minTokens)
+          if (unit == "conversation") computeConvVictims(table, mode, minTokens, maxIters)
+          else computeVictims(table, mode, minTokens, maxIters)
         // atomic publish: write to a tmp dir, move over — a crash mid-write
         // can never leave a torn victim set a resume would trust
         val tmp = jobDir.resolve("victims.parquet.tmp")
@@ -201,7 +202,8 @@ object Dedupe {
     * table's stable key ordering.
     */
   private[maintain] def computeVictims(table: LakeTable, mode: String,
-                                       minTokens: Int): DataFrame = {
+                                       minTokens: Int,
+                                       maxIters: Int = 50): DataFrame = {
     val spark = table.spark
     require(table.currentFiles.nonEmpty, s"no data files to dedupe at ${table.root}")
 
@@ -260,7 +262,7 @@ object Dedupe {
             Dedup.minhashPairsFromSignatures(keyed, "__k", "minhash")
           else Dedup.simhashPairsFromFingerprints(keyed, "__k", "simhash")
         val r = Dedup.dedupGroupsResult(keyed.select("__k"), "__k",
-          pairs.select("id_a", "id_b"))
+          pairs.select("id_a", "id_b"), maxIters)
         if (!r.converged) {
           keyed.unpersist(); pairs.unpersist(); r.groups.unpersist()
           throw new IllegalStateException(
@@ -295,7 +297,8 @@ object Dedupe {
     * would go stale on any merge touching the conversation.
     */
   private[maintain] def computeConvVictims(table: LakeTable, mode: String,
-                                           minTokens: Int): DataFrame = {
+                                           minTokens: Int,
+                                           maxIters: Int = 50): DataFrame = {
     val spark = table.spark
     val paths = table.currentFiles.map(f => table.absData(f.path))
     val rows = spark.read.schema(table.schema.toStruct).parquet(paths: _*)
@@ -329,7 +332,7 @@ object Dedupe {
             Dedup.minhashCandidatePairs(conv, "conv_id", "__ctext")
           else Dedup.simhashCandidatePairs(conv, "conv_id", "__ctext")
         val r = Dedup.dedupGroupsResult(conv.select("conv_id"), "conv_id",
-          pairs.select("id_a", "id_b"))
+          pairs.select("id_a", "id_b"), maxIters)
         if (!r.converged) {
           rows.unpersist(); pairs.unpersist(); r.groups.unpersist()
           throw new IllegalStateException(

@@ -297,10 +297,11 @@ class DedupSpec extends AnyFunSuite {
 
   test("dedupGroups: convergence flag trips on a chain longer than the cap") {
     import spark.implicits._
-    // path graph 1-2-3-...-8: min-label propagation needs ~7 rounds; a cap
-    // of 2 must report converged=false AND visibly split groups, while the
-    // default cap converges and labels everything 1
-    val n = 8L
+    // path graph 1-2-...-40: even with pointer jumping (distance halves per
+    // round) a cap of 2 covers only a few hops — it must report
+    // converged=false AND visibly split groups, while the default cap
+    // converges (O(log diameter) rounds) and labels everything 1
+    val n = 40L
     val ids = (1L to n).map(Tuple1(_)).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val capped = Dedup.dedupGroupsResult(ids, "doc_id", pairs, maxIters = 2)
@@ -308,6 +309,7 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.groups.select("group_id").distinct().count() > 1)
     val full = Dedup.dedupGroupsResult(ids, "doc_id", pairs)
     assert(full.converged)
+    assert(full.rounds < 10, s"pointer jumping must need ~log(40) rounds, took ${full.rounds}")
     assert(full.groups.select("group_id").as[Long].collect().toSet == Set(1L))
   }
 
