@@ -316,17 +316,20 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager), NOT persist: each round's plan references the
-    // previous round's frame TWICE (neighbor join + label join), so without
-    // lineage TRUNCATION the logical plan doubles per round — by round ~20
-    // the driver OOMs just STRINGIFYING the tree for the SQL listener
-    // (persist caches blocks but leaves the logical lineage intact). The
-    // checkpoint materializes the round — it IS the convergence action —
-    // and superseded rounds' blocks are released by the ContextCleaner as
-    // their frames go out of scope (bounded: rounds x |ids| rows,
-    // MEMORY_AND_DISK).
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("grp"))
-      .localCheckpoint(true)
+    // Bridge.detach, NOT persist/localCheckpoint: each round's plan
+    // references the previous round's frame THREE times (neighbor join,
+    // label join, pointer-jump join), so (a) without lineage TRUNCATION the
+    // logical plan grows 3x per round — the driver OOMs just STRINGIFYING
+    // the tree for the SQL listener by round ~20 (persist caches blocks but
+    // leaves lineage intact) — and (b) localCheckpoint truncates the plan
+    // but CARRIES the computed statistics into the new leaf, and join-stat
+    // estimation MULTIPLIES child sizes, so the carried BigInt's digit
+    // count triples per round and by round ~25 the driver burns minutes in
+    // big-number arithmetic per size estimate. detach() cuts both: fresh
+    // leaf, constant stats, explicit block release one round later.
+    import org.apache.spark.sql.graftx.Bridge
+    var (labels, releaseLabels) =
+      Bridge.detach(ids.select(col(idCol).as("id"), col(idCol).as("grp")))
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
@@ -342,22 +345,25 @@ object Dedup {
       // O(diameter). Plain hop-propagation hit the round cap on corpus-
       // scale near-dup graphs whose banding chains grow with corpus size.
       val newGrp = least(col("__g1"), coalesce(col("__g2"), col("__g1")))
-      val next = cand
+      val (next, releaseNext) = Bridge.detach(cand
         .join(labels.select(col("id").as("__g1"), col("grp").as("__g2")),
           Seq("__g1"), "left_outer")
         .select(col("id"), newGrp.as("__grp_next"),
           (newGrp =!= col("grp")).as("__chg"))
-        .withColumnRenamed("__grp_next", "grp")
-        .localCheckpoint(true)
-      // one job on the checkpointed blocks counts the changes
+        .withColumnRenamed("__grp_next", "grp"))
+      // one job materializes the round's cache and counts the changes;
+      // only then is the previous round's cache released
       val changed = next.agg(count(when(col("__chg"), lit(1)))).head().getLong(0)
+      releaseLabels()
       labels = next
+      releaseLabels = releaseNext
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
     val out = materializeAndRelease(
       labels.select(col("id").as(idCol), col("grp").as("group_id")))
+    releaseLabels()
     GroupsResult(out, converged, i)
   }
 

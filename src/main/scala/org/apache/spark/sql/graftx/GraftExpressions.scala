@@ -55,6 +55,39 @@ object Bridge {
     * `SELECT zorder64(a, b)` works after this (FunctionRegistry is a
     * private[sql] seam, hence registration lives in this bridge package).
     */
+  /** Cut a DataFrame's LINEAGE and its STATISTICS chain for iterative
+    * algorithms: materializable cached rows behind a fresh [[LogicalRDD]]
+    * leaf whose stats are a caller-supplied CONSTANT.
+    *
+    * Why not `localCheckpoint`: it truncates the plan but carries the
+    * child's COMPUTED statistics into the leaf (rewriteStatsAndConstraints),
+    * and join-stat estimation multiplies children's sizeInBytes — so in a
+    * loop whose round-r leaf feeds ~3 joins, the carried BigInt's DIGIT
+    * COUNT triples per round and by round ~25 the driver burns minutes per
+    * round in Toom-Cook multiplication just to estimate sizes. A constant
+    * per round keeps stat products bounded forever.
+    *
+    * The returned thunk unpersists the backing block RDD — call it once the
+    * NEXT round (or the final output) has materialized; relying on the
+    * ContextCleaner instead leaks one corpus-sized cache per round.
+    * Rows are defensively copied (toRdd reuses mutable UnsafeRows — caching
+    * them uncopied stores one row object per partition, all aliased).
+    */
+  def detach(df: org.apache.spark.sql.DataFrame,
+             sizeInBytes: Long = 1L << 30)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = cdf.sparkSession
+    val rdd = cdf.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plan = org.apache.spark.sql.execution.LogicalRDD(
+      cdf.queryExecution.analyzed.output, rdd)(session,
+      Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(sizeInBytes))), None)
+    (org.apache.spark.sql.classic.Dataset.ofRows(session, plan),
+      () => { rdd.unpersist(blocking = false); () })
+  }
+
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("zorder64",
