@@ -182,16 +182,23 @@ object VectorOps {
     // — which must stay reserved for REAL single-partition regressions —
     // and a constant partitionBy is folded away by EliminateWindowPartitions.
     // The collect is bounded by the nLists CONSTANT, never by data size.
+    // Rebuilt via createDataFrame with the vector column's OWN schema:
+    // array<float> and array<double> callers both keep their element type
+    // (an encoder-typed round-trip through Seq[Float] would break doubles).
     val spark0 = df.sparkSession
-    import spark0.implicits._
+    val vecField = base.schema("v")
     val seedRows = base.select(col("v").as("cv"), xxhash64(col("id")).as("__h"))
       .orderBy("__h").limit(nLists)
       .collect()
-    val seeds = seedRows.zipWithIndex
-      .map { case (r, i) => (i + 1, r.getSeq[Float](0)) }.toSeq
-      .toDF("cell", "cv")
-      .select(col("cell"), col("cv").cast("array<float>"))
-    var centroids = withCentNorm(seeds)
+    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      vecField.copy(name = "cv")))
+    val seedData: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(seedRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1, r.get(0))
+      }: _*)
+    var centroids = withCentNorm(spark0.createDataFrame(seedData, seedSchema))
 
     // all corpus x centroid scores (the broadcast assignment pass)
     def scoreAll(cents: DataFrame): DataFrame =

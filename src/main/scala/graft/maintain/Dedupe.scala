@@ -58,6 +58,7 @@ object Dedupe {
               mode: String = "exact",
               minTokens: Int = 1,
               unit: String = "turn",
+              minJaccard: Double = 0.9,
               maxIters: Int = 50,
               targetFileRows: Long = 1L << 20,
               groupTargetBytes: Long = 256L << 20,
@@ -79,12 +80,19 @@ object Dedupe {
 
     val jobDir = table.ledgerDir.resolve(jobId)
     val victimsDir = jobDir.resolve("victims.parquet")
+    // the plan kind pins the SEMANTICS-BEARING parameters: a resume with a
+    // different mode/unit/minTokens must fail loudly instead of silently
+    // applying a victim set computed under other rules (Clustering pins its
+    // curve in the plan for the same reason)
+    val planKind = s"dedupe:$mode:$unit:$minTokens"
 
     // ---- plan: compute + persist the victim set, group touched files ----
     val plan = Ledger.readPlan(table, jobId) match {
       case Some(p) =>
-        require(p.kind == "dedupe",
-          s"ledger id collision: plan for $jobId belongs to a '${p.kind}' job")
+        require(p.kind == planKind,
+          s"ledger plan for $jobId is '${p.kind}' but this invocation is " +
+            s"'$planKind' — job-id collision or changed parameters; use a " +
+            "fresh jobId")
         require(table.currentSnapshotId.contains(p.baseSnapshotId),
           s"ledger plan for $jobId was computed on snapshot ${p.baseSnapshotId} " +
             s"but current is ${table.currentSnapshotId}; stale plan")
@@ -93,8 +101,9 @@ object Dedupe {
         p
       case None =>
         val victims =
-          if (unit == "conversation") computeConvVictims(table, mode, minTokens, maxIters)
-          else computeVictims(table, mode, minTokens, maxIters)
+          if (unit == "conversation")
+            computeConvVictims(table, mode, minTokens, minJaccard, maxIters)
+          else computeVictims(table, mode, minTokens, minJaccard, maxIters)
         // atomic publish: write to a tmp dir, move over — a crash mid-write
         // can never leave a torn victim set a resume would trust
         val tmp = jobDir.resolve("victims.parquet.tmp")
@@ -114,7 +123,7 @@ object Dedupe {
           touched.sortBy(f => (f.minConv.getOrElse(""), f.minTurn.getOrElse(0))),
           groupTargetBytes).filter(_.nonEmpty)
         Ledger.writePlan(table, jobId, table.currentSnapshotId.get,
-          groups.map(_.map(_.path)), kind = "dedupe")
+          groups.map(_.map(_.path)), kind = planKind)
         Ledger.readPlan(table, jobId).get
     }
 
@@ -158,12 +167,18 @@ object Dedupe {
             // small intra-slab exchange and the outputs keep TIGHT ranges.
             val survivors = rows - groupVictims.count()
             val nOut = math.max(1, math.ceil(survivors.toDouble / targetFileRows).toInt)
-            val df = spark.read.schema(table.schema.toStruct)
-              .parquet(paths.map(table.absData): _*)
-              .join(groupVictims, Seq("conv_id", "turn_idx"), "left_anti")
-              .repartitionByRange(nOut, col("conv_id"), col("turn_idx"))
-              .sortWithinPartitions("conv_id", "turn_idx")
-            val out = table.writeDataFiles(df, s"$jobId-g$gi")
+            // a slab that was ENTIRELY duplicates leaves nothing to write:
+            // an empty parquet part would enter the manifest stats-less
+            // (never pruned) — same rule as the no-op merge
+            val out =
+              if (survivors == 0L) Vector.empty[graft.lake.DataFile]
+              else table.writeDataFiles(
+                spark.read.schema(table.schema.toStruct)
+                  .parquet(paths.map(table.absData): _*)
+                  .join(groupVictims, Seq("conv_id", "turn_idx"), "left_anti")
+                  .repartitionByRange(nOut, col("conv_id"), col("turn_idx"))
+                  .sortWithinPartitions("conv_id", "turn_idx"),
+                s"$jobId-g$gi")
             Ledger.writeTask(table, Ledger.TaskRow(jobId, gi, "done", paths,
               out, rows, bytes, (System.nanoTime() - t0) / 1000000))
             out
@@ -201,8 +216,31 @@ object Dedupe {
     * identical to the reference's first-occurrence-survives rule under the
     * table's stable key ordering.
     */
+  /** Estimated-Jaccard verification of minhash candidate pairs: the
+    * fraction of AGREEING signature positions is an unbiased Jaccard
+    * estimator, so requiring >= ceil(numHashes * minJaccard) agreements
+    * turns raw band collisions (a J~0.5 pair still shares one of 8 bands
+    * ~40% of the time) into a high-confidence near-dup edge. Deletion must
+    * never ride on unverified candidates; exact duplicates agree on every
+    * position and always pass.
+    */
+  private def verifiedMinhashPairs(pairs: DataFrame, keyed: DataFrame,
+                                   keyCol: String, sigCol: String,
+                                   numHashes: Int, minJaccard: Double): DataFrame = {
+    val need = math.ceil(numHashes * minJaccard).toInt
+    val sa = keyed.select(col(keyCol).as("id_a"), col(sigCol).as("__sa"))
+    val sb = keyed.select(col(keyCol).as("id_b"), col(sigCol).as("__sb"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .where(aggregate(
+        zip_with(col("__sa"), col("__sb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v) >= need)
+      .select("id_a", "id_b")
+  }
+
   private[maintain] def computeVictims(table: LakeTable, mode: String,
                                        minTokens: Int,
+                                       minJaccard: Double = 0.9,
                                        maxIters: Int = 50): DataFrame = {
     val spark = table.spark
     require(table.currentFiles.nonEmpty, s"no data files to dedupe at ${table.root}")
@@ -253,18 +291,24 @@ object Dedupe {
           .withColumn("__k",
             concat_ws("\u0001", col("conv_id"), col("turn_idx").cast("string")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // minhash: shingle-Jaccard similarity via LSH banding over the
-        // stored signatures; simhash: banded-Hamming join (distance <= 3)
-        // over the stored 64-bit fingerprints — both pure candidate joins,
-        // zero re-hashing
-        val pairs =
+        // minhash: LSH banding proposes candidates, then the estimated-
+        // Jaccard VERIFY (signature agreement >= minJaccard) gates them —
+        // deletion never rides on raw band collisions; simhash pairs are
+        // already Hamming-verified (<= 3) inside the banded join. Both are
+        // pure candidate joins over stored sketches, zero re-hashing.
+        val rawPairs =
           if (mode == "minhash")
             Dedup.minhashPairsFromSignatures(keyed, "__k", "minhash")
           else Dedup.simhashPairsFromFingerprints(keyed, "__k", "simhash")
+        val pairs =
+          if (mode == "minhash")
+            verifiedMinhashPairs(rawPairs, keyed, "__k", "minhash",
+              numHashes = 32, minJaccard)
+          else rawPairs
         val r = Dedup.dedupGroupsResult(keyed.select("__k"), "__k",
           pairs.select("id_a", "id_b"), maxIters)
         if (!r.converged) {
-          keyed.unpersist(); pairs.unpersist(); r.groups.unpersist()
+          keyed.unpersist(); rawPairs.unpersist(); r.groups.unpersist()
           throw new IllegalStateException(
             s"dedupe($mode): label propagation did not converge — refusing " +
               "to delete rows based on partial duplicate groups; raise " +
@@ -277,7 +321,7 @@ object Dedupe {
           .select("conv_id", "turn_idx", "__src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
-        keyed.unpersist(); pairs.unpersist(); r.groups.unpersist()
+        keyed.unpersist(); rawPairs.unpersist(); r.groups.unpersist()
         out
     }
   }
@@ -298,6 +342,7 @@ object Dedupe {
     */
   private[maintain] def computeConvVictims(table: LakeTable, mode: String,
                                            minTokens: Int,
+                                           minJaccard: Double = 0.9,
                                            maxIters: Int = 50): DataFrame = {
     val spark = table.spark
     val paths = table.currentFiles.map(f => table.absData(f.path))
@@ -327,14 +372,26 @@ object Dedupe {
           .where(col("conv_id") =!= col("__keep"))
           .select("conv_id")
       case _ =>
+        // conversation sketches are computed fresh on the conv-level frame
+        // (the per-file store is per-turn); minhash candidates then pass
+        // the same estimated-Jaccard verify as the turn path
+        val convSig =
+          if (mode == "minhash") conv.withColumn("__sig",
+            Dedup.minhashSignatureNative(col("__ctext"), 3, 32))
+          else conv
+        val rawPairs =
+          if (mode == "minhash")
+            Dedup.minhashPairsFromSignatures(convSig, "conv_id", "__sig")
+          else Dedup.simhashCandidatePairs(conv, "conv_id", "__ctext")
         val pairs =
           if (mode == "minhash")
-            Dedup.minhashCandidatePairs(conv, "conv_id", "__ctext")
-          else Dedup.simhashCandidatePairs(conv, "conv_id", "__ctext")
+            verifiedMinhashPairs(rawPairs, convSig, "conv_id", "__sig",
+              numHashes = 32, minJaccard)
+          else rawPairs
         val r = Dedup.dedupGroupsResult(conv.select("conv_id"), "conv_id",
           pairs.select("id_a", "id_b"), maxIters)
         if (!r.converged) {
-          rows.unpersist(); pairs.unpersist(); r.groups.unpersist()
+          rows.unpersist(); rawPairs.unpersist(); r.groups.unpersist()
           throw new IllegalStateException(
             s"dedupe($mode, conversation): label propagation did not " +
               "converge — refusing to delete on partial duplicate groups")
@@ -343,7 +400,7 @@ object Dedupe {
           .select("conv_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         v.count()
-        pairs.unpersist(); r.groups.unpersist()
+        rawPairs.unpersist(); r.groups.unpersist()
         v
     }
 
@@ -352,6 +409,7 @@ object Dedupe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     rows.unpersist()
+    victimConvs.unpersist() // no-op for the exact branch's unpersisted frame
     out
   }
 }

@@ -68,8 +68,19 @@ object GraftPlans {
       .getOrElse(throw new IllegalStateException("no snapshot to scan"))
     val attrs = snap.schema.toStruct.map(f =>
       AttributeReference(f.name, f.dataType, nullable = true)())
-    Bridge.ofRows(spark, GraftTableScan(table.root, Some(snap.id), attrs,
-      sizeInBytes = snap.manifests.map(_.bytes).sum,
+    // Byte sums are trusted ONLY when every non-empty manifest reports
+    // them: a mixed table (legacy pre-bytes manifests carried verbatim by
+    // commitDelta + one post-upgrade manifest) would otherwise report just
+    // the new slice — a massive UNDERSTATEMENT whose failure mode is a
+    // wrongly-broadcast huge table. All-or-nothing keeps the fallback
+    // (1 GiB, never broadcast) until a manifest rewrite refreshes stats.
+    val allHaveBytes = snap.manifests.forall(r => r.entryCount == 0 || r.bytes > 0)
+    // An explicitly pinned snapshot id stays pinned (VERSION AS OF); a
+    // None stays None IN THE LEAF so the planning rule re-resolves the
+    // CURRENT snapshot at every query — a registered "live" view must not
+    // freeze at registration time.
+    Bridge.ofRows(spark, GraftTableScan(table.root, snapshotId, attrs,
+      sizeInBytes = if (allHaveBytes) snap.manifests.map(_.bytes).sum else 0L,
       rowCount = snap.manifests.map(_.rows).sum))
   }
 
@@ -89,10 +100,14 @@ object GraftPlans {
       "n_files", "n_rows", "n_bytes")
   }
 
-  /** Register the SQL surface for a lake table: `<name>` scans the current
-    * snapshot (optimizer-pruned via [[PruneGraftScans]]) and
-    * `<name>_snapshots` lists the committed history — a SQL user can pick a
-    * version from the listing and open it with [[registerAsOf]].
+  /** Register the SQL surface for a lake table: `<name>` is a LIVE view —
+    * the scan leaf carries no pinned snapshot id, so [[PruneGraftScans]]
+    * re-resolves the CURRENT snapshot at every query and later commits are
+    * visible without re-registration (pin explicitly with [[registerAsOf]]).
+    * `<name>_snapshots` lists the committed history AS OF REGISTRATION
+    * (it is a materialized metadata listing; re-run registerTable to
+    * refresh) — a SQL user picks a version from it and opens it with
+    * [[registerAsOf]].
     */
   def registerTable(spark: SparkSession, table: LakeTable, name: String): Unit = {
     install(spark)

@@ -217,6 +217,59 @@ class LakeSpec extends AnyFunSuite {
     assert(res2.duplicateRows == 3)
   }
 
+  test("dedupe minhash: moderately similar texts are NOT deleted (verify gate)") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    val t = LakeTable.create(spark, tmpTable("dedupe-verify"), TranscriptSynth.schema)
+    // two texts sharing ~half their shingles: band collisions may propose
+    // the pair, but estimated Jaccard < 0.9 must refuse the deletion
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val rows = Seq[(String, Int, String, String, String, java.sql.Timestamp)](
+      ("a", 0, "user", s"$shared alpha beta gamma delta epsilon zeta", null, ts(0)),
+      ("b", 0, "user", s"$shared one two three four five six", null, ts(1)),
+      ("c", 0, "user", "exact copy text here", null, ts(2)),
+      ("d", 0, "user", "exact copy text here", null, ts(3)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    t.append(rows, "init")
+    val res = Dedupe.runPass(t, "ddv", mode = "minhash")
+    assert(res.duplicateRows == 1, s"only the exact copy is removed: ${res.duplicateRows}")
+    val after = t.scan().df.select("conv_id").as[String].collect().toSet
+    assert(after == Set("a", "b", "c"), s"similar-but-distinct texts survive: $after")
+  }
+
+  test("dedupe: a fully-duplicate slab leaves no empty data file behind") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    val t = LakeTable.create(spark, tmpTable("dedupe-allvictim"), TranscriptSynth.schema)
+    // file 1 = originals, file 2 = ONLY copies (every row a victim)
+    val rows = Seq[(String, Int, String, String, String, java.sql.Timestamp)](
+      ("a", 0, "user", "payload one", null, ts(0)),
+      ("b", 0, "user", "payload two", null, ts(1)),
+      ("y", 0, "user", "payload one", null, ts(2)),
+      ("z", 0, "user", "payload two", null, ts(3)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    t.append(rows.repartitionByRange(2, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    val res = Dedupe.runPass(t, "ddav")
+    assert(res.duplicateRows == 2)
+    assert(t.currentFiles.forall(_.rows > 0), "no empty data files committed")
+    assert(t.scan().df.select("conv_id").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("dedupe: resume with different parameters fails loudly") {
+    val t = dedupeTable("dedupe-params")
+    intercept[Exception] {
+      Dedupe.runPass(t, "ddp", groupTargetBytes = 1L, interruptAfter = 0)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Dedupe.runPass(t, "ddp", mode = "minhash", groupTargetBytes = 1L)
+    }
+    assert(e.getMessage.contains("changed parameters"))
+    // same params resume fine
+    val ok = Dedupe.runPass(t, "ddp", groupTargetBytes = 1L)
+    assert(ok.duplicateRows == 2)
+  }
+
   test("dedupe: empty table is a clean no-op") {
     val t = LakeTable.create(spark, tmpTable("dedupe-empty"), TranscriptSynth.schema)
     val r = Dedupe.runPass(t, "dde")

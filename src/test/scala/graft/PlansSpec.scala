@@ -219,5 +219,25 @@ class PlansSpec extends AnyFunSuite {
     val ts1 = t.snapshot(v1).timestampMs
     GraftPlans.registerAsOf(spark, t, "travel_t_ts", asOfTsMs = Some(ts1))
     assert(spark.sql("SELECT count(*) FROM travel_t_ts").head().getLong(0) == v1Rows)
+
+    // the UNPINNED view is LIVE: commits after registration are visible
+    // without re-registering (the leaf re-resolves the current snapshot)
+    val liveBefore = spark.sql("SELECT count(*) FROM travel_t").head().getLong(0)
+    t.append(TranscriptSynth.turns(spark, 5, seed = 44L)
+      .withColumn("conv_id", concat(lit("y"), col("conv_id"))), "even-more")
+    val liveAfter = spark.sql("SELECT count(*) FROM travel_t").head().getLong(0)
+    assert(liveAfter > liveBefore, "registered view must track the current snapshot")
+    // while the pinned view stays pinned
+    assert(spark.sql("SELECT count(*) FROM travel_t_v1").head().getLong(0) == v1Rows)
+  }
+
+  test("ivfTopK works on array<double> embeddings (no float-encoder assumption)") {
+    import spark.implicits._
+    val vecs = (1L to 30L).map { i =>
+      val base = (0 until 8).map(j => (((i % 3) * 100 + j * 7 + i % 5).toDouble) / 50.0)
+      (i, base)
+    }.toDF("id", "v")
+    val top = graft.functions.VectorOps.ivfTopK(vecs, "id", "v", 2, nLists = 4, nProbe = 2)
+    assert(top.count() > 0, "double vectors must flow through the IVF path")
   }
 }
