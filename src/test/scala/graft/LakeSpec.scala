@@ -270,6 +270,23 @@ class LakeSpec extends AnyFunSuite {
     assert(ok.duplicateRows == 2)
   }
 
+  test("dedupe preserves evolved schema columns through the rewrite") {
+    import spark.implicits._
+    val t = dedupeTable("dedupe-evolve")
+    // evolve the schema: a drop with a NEW column (priority) on one key
+    val staged = Seq(("c004", "0", "", "", "", "high", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "priority", "_seq")
+    MergeInto.merge(t, staged, "evolve-drop")
+    assert(t.schema.fieldNames.contains("priority"))
+
+    val res = Dedupe.runPass(t, "dde2")
+    assert(res.duplicateRows == 2)
+    val after = t.scan().df
+    assert(after.columns.contains("priority"), "evolved column survives the rewrite")
+    assert(after.where(col("conv_id") === "c004" && col("priority") === "high").count() == 1,
+      "evolved column VALUES survive the dedupe rewrite")
+  }
+
   test("dedupe: empty table is a clean no-op") {
     val t = LakeTable.create(spark, tmpTable("dedupe-empty"), TranscriptSynth.schema)
     val r = Dedupe.runPass(t, "dde")
