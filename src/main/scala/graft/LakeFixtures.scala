@@ -60,15 +60,18 @@ object LakeFixtures {
       .where(col("text") =!= "")
   }
 
-  private val dedupCache = scala.collection.concurrent.TrieMap.empty[String, LakeTable]
+  final case class DedupFixture(table: LakeTable, postDedupeSnapshot: Long)
 
-  /** A SECOND lake table per sfDir for the dedupe maintenance pass (q34):
-    * load the pre-merge transcripts, then [[Dedupe.runPass]] removes every
-    * non-keeper duplicate-text turn. Separate from [[forDir]]'s table —
-    * dedupe commits a new current snapshot, which must not disturb the
+  private val dedupCache = scala.collection.concurrent.TrieMap.empty[String, DedupFixture]
+
+  /** A SECOND lake table per sfDir for the row-level DML queries: load the
+    * pre-merge transcripts, [[Dedupe.runPass]] removes every non-keeper
+    * duplicate-text turn (q34 pins THIS snapshot), then [[DeleteFrom]]
+    * removes a conversation range (q37 reads the current snapshot).
+    * Separate from [[forDir]]'s table — these commits must not disturb the
     * q19-q21/q29 oracles pinned to that fixture's maintenance narrative.
     */
-  def dedupForDir(spark: SparkSession, sfDir: String): LakeTable =
+  def dedupForDir(spark: SparkSession, sfDir: String): DedupFixture =
     dedupCache.getOrElseUpdate(sfDir, {
       val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       val root = Paths.get("target", "lakededup", tag).toString
@@ -79,7 +82,11 @@ object LakeFixtures {
         .repartitionByRange(8, org.apache.spark.sql.functions.col("conv_id"),
           org.apache.spark.sql.functions.col("turn_idx")), s"dload-$tag")
       graft.maintain.Dedupe.runPass(t, s"dedupe-$tag", targetFileRows = 4000)
-      t
+      val post = t.currentSnapshotId.get
+      graft.maintain.DeleteFrom.run(t, s"delete-$tag",
+        "conv_id BETWEEN 'u000100' AND 'u000119'",
+        convRange = Some(("u000100", "u000119")), targetFileRows = 4000)
+      DedupFixture(t, post)
     })
 
   private val dedupConvCache = scala.collection.concurrent.TrieMap.empty[String, LakeTable]

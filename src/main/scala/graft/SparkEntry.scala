@@ -384,8 +384,18 @@ object SparkEntry {
     // OUTPUT table, so the oracle (min-key-per-text-partition in SQL)
     // checks the applied deletion, not just a candidate list.
     "q34_dedupe_pass" -> ((s, d) => {
-      val t = LakeFixtures.dedupForDir(s, d)
-      t.scan().df.select(col("conv_id"), col("turn_idx"))
+      val f = LakeFixtures.dedupForDir(s, d)
+      f.table.scan(snapshotId = Some(f.postDedupeSnapshot)).df
+        .select(col("conv_id"), col("turn_idx"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Row-level DELETE FROM (conv range predicate + metadata pruning):
+    // current snapshot = dedupe survivors minus the deleted conversation
+    // range — the oracle applies the same NOT BETWEEN on its keeper set.
+    "q37_delete_from" -> ((s, d) => {
+      val f = LakeFixtures.dedupForDir(s, d)
+      f.table.scan().df.select(col("conv_id"), col("turn_idx"))
         .orderBy("conv_id", "turn_idx")
     }),
 
@@ -711,6 +721,26 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx
         |  FROM events)
         |SELECT conv_id, turn_idx FROM tr ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // DELETE FROM survivors = the dedupe keepers minus the deleted range
+    "q37_delete_from" ->
+      """WITH tr AS (
+        |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN '''=ALERT ' || props ELSE props END AS text
+        |  FROM events),
+        |n AS (
+        |  SELECT conv_id, turn_idx,
+        |         regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS tn
+        |  FROM tr),
+        |k AS (
+        |  SELECT conv_id, turn_idx, tn,
+        |         row_number() OVER (PARTITION BY tn ORDER BY conv_id, turn_idx) AS rn
+        |  FROM n)
+        |SELECT conv_id, turn_idx FROM k
+        |WHERE (tn = '' OR rn = 1)
+        |  AND conv_id NOT BETWEEN 'u000100' AND 'u000119'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
 
     // survivors of the dedupe pass = the min-(conv_id,turn_idx) row of
     // every identical-normalized-text partition (empty texts all survive)

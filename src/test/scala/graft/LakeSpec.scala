@@ -375,6 +375,70 @@ class LakeSpec extends AnyFunSuite {
     assert(Sketches.ensure(t).computedFiles == 0)
   }
 
+  test("DELETE FROM: predicate rows removed, non-overlapping files untouched") {
+    val t = LakeTable.create(spark, tmpTable("delete-from"), TranscriptSynth.schema)
+    val data = synth(100)
+    t.append(data.repartitionByRange(10, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    val pre = t.currentSnapshotId.get
+    val filesBefore = t.currentFiles.map(_.path).toSet
+    val expectSurvive = data.where(
+      !(col("conv_id").between("c00000010", "c00000019") && col("role") === "tool")).count()
+
+    // range-hinted predicate delete: only overlapping files are rewritten
+    val res = DeleteFrom.run(t, "del1",
+      "conv_id BETWEEN 'c00000010' AND 'c00000019' AND role = 'tool'",
+      convRange = Some(("c00000010", "c00000019")))
+    assert(res.deletedRows > 0)
+    assert(t.scan().df.count() == expectSurvive)
+    assert(t.scan().df.where(col("conv_id").between("c00000010", "c00000019") &&
+      col("role") === "tool").count() == 0)
+    // files outside the hinted range carried forward verbatim
+    val filesAfter = t.currentFiles.map(_.path).toSet
+    assert((filesBefore & filesAfter).size >= 7,
+      s"non-overlapping files must carry: ${(filesBefore & filesAfter).size}")
+    // snapshot isolation + idempotent replay
+    assert(t.scan(snapshotId = Some(pre)).df.count() == data.count())
+    val replay = DeleteFrom.run(t, "del1",
+      "conv_id BETWEEN 'c00000010' AND 'c00000019' AND role = 'tool'",
+      convRange = Some(("c00000010", "c00000019")))
+    assert(replay.snapshot.id == res.snapshot.id && replay.deletedRows == 0)
+
+    // a changed predicate on an IN-FLIGHT job fails loudly (a COMMITTED
+    // job's replay is answered by the idempotence marker before any check)
+    intercept[Exception] {
+      DeleteFrom.run(t, "del3", "role = 'assistant'",
+        groupTargetBytes = 1L, interruptAfter = 0)
+    }
+    val e = intercept[IllegalArgumentException] {
+      DeleteFrom.run(t, "del3", "role = 'user'", groupTargetBytes = 1L)
+    }
+    assert(e.getMessage.contains("changed predicate"))
+
+    // no-match predicate: NO new snapshot, no file churn
+    val snapBefore = t.currentSnapshotId.get
+    val noop = DeleteFrom.run(t, "del2", "role = 'never-a-role'")
+    assert(noop.deletedRows == 0 && t.currentSnapshotId.get == snapBefore)
+  }
+
+  test("DELETE FROM: interrupted run resumes from the ledger") {
+    val t = LakeTable.create(spark, tmpTable("delete-resume"), TranscriptSynth.schema)
+    t.append(synth(60).repartitionByRange(6, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    val total = t.scan().df.count()
+    val toDelete = t.scan().df.where(col("role") === "tool").count()
+    intercept[Exception] {
+      DeleteFrom.run(t, "delr", "role = 'tool'",
+        groupTargetBytes = 1L, interruptAfter = 1)
+    }
+    val res = DeleteFrom.run(t, "delr", "role = 'tool'",
+      groupTargetBytes = 1L)
+    assert(res.resumedGroups >= 1)
+    assert(res.deletedRows == toDelete)
+    assert(t.scan().df.count() == total - toDelete)
+    assert(t.scan().df.where(col("role") === "tool").count() == 0)
+  }
+
   test("compaction: many small files bin-packed, content identical") {
     val t = LakeTable.create(spark, tmpTable("compact"), TranscriptSynth.schema)
     val data = synth(60)
