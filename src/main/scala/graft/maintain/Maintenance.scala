@@ -30,12 +30,15 @@ object Maintenance {
       expire: Expire.Result,
       orphans: OrphanGc.Result,
       ledger: Ledger.ExpireResult,
-      dedupe: Option[Dedupe.Result] = None) {
+      dedupe: Option[Dedupe.Result] = None,
+      rowRetention: Option[DeleteFrom.Result] = None) {
     def summary: String =
       s"compact: ${compact.bins} bins (${compact.filesCompacted} files); " +
         s"cluster: ${cluster.groups} groups, ${cluster.rowsRewritten} rows; " +
         dedupe.map(d => s"dedupe: ${d.duplicateRows} dup rows from " +
           s"${d.touchedFiles} files; ").getOrElse("") +
+        rowRetention.map(r => s"row-retention: ${r.deletedRows} rows from " +
+          s"${r.touchedFiles} files; ").getOrElse("") +
         s"expire: ${expire.expiredSnapshots.size} snapshots, " +
         s"${expire.deletedDataFiles.size} data files; " +
         s"orphans: ${orphans.deleted.size} swept; " +
@@ -49,6 +52,14 @@ object Maintenance {
     * as dirty slabs. In minhash mode the pass reads the per-file sketch
     * store ([[Sketches]]), whose cost is only the files added since the
     * previous cycle.
+    *
+    * `rowRetentionMs`: Some(age) additionally deletes TURNS whose event
+    * time `ts` is older than `nowMs - age` via [[DeleteFrom]] — the
+    * reference's 24h data retention (cleanup.py:13,22-25) applied at row
+    * granularity, where [[Expire.expire]]'s `retentionMs` governs only
+    * snapshot METADATA. Runs before clustering for the same dirty-slab
+    * reason as dedupe. `nowMs` is a parameter, never the wall clock inside
+    * job logic, so cycles stay replayable.
     */
   def runCycle(table: LakeTable, cycleId: String,
                smallFileBytes: Long = 32L << 20,
@@ -58,7 +69,9 @@ object Maintenance {
                retainLast: Int = 5,
                retentionMs: Option[Long] = Some(24L * 3600 * 1000),
                orphanGraceMs: Long = 24L * 3600 * 1000,
-               dedupeMode: Option[String] = None): CycleReport = {
+               dedupeMode: Option[String] = None,
+               rowRetentionMs: Option[Long] = None,
+               nowMs: Long = System.currentTimeMillis()): CycleReport = {
     // Never re-pack files the last clustering placed: compacting clean
     // slabs would dirty them all and turn the next recluster from
     // incremental into full — the cycle's compaction is for NEW drop debris.
@@ -70,6 +83,11 @@ object Maintenance {
     val deduped = dedupeMode.map(m =>
       Dedupe.runPass(table, s"$cycleId-dedupe", mode = m,
         groupTargetBytes = groupTargetBytes))
+    val rowExpired = rowRetentionMs.map { age =>
+      DeleteFrom.run(table, s"$cycleId-rowexpire",
+        s"ts < timestamp_millis(${nowMs - age}L)",
+        groupTargetBytes = groupTargetBytes)
+    }
     val clustered = Clustering.cluster(table, s"$cycleId-cluster",
       targetFileRows = targetFileRows, groupTargetBytes = groupTargetBytes)
     val expired = Expire.expire(table, retainLast = retainLast,
@@ -78,6 +96,6 @@ object Maintenance {
     // ledger dirs of committed jobs past the grace age: bounded ledger size
     // (resume/idempotence for a finished job only matters within a cadence)
     val ledger = Ledger.expireJobs(table, olderThanMs = orphanGraceMs)
-    CycleReport(compacted, clustered, expired, orphans, ledger, deduped)
+    CycleReport(compacted, clustered, expired, orphans, ledger, deduped, rowExpired)
   }
 }

@@ -1060,6 +1060,32 @@ class LakeSpec extends AnyFunSuite {
     assert(rb.dedupe.get.duplicateRows == 0 && t.scan().df.count() == post)
   }
 
+  test("maintenance cycle with row retention: old turns deleted by event time") {
+    val t = LakeTable.create(spark, tmpTable("cycle-rowret"), TranscriptSynth.schema)
+    val data = synth(50)
+    t.append(data.repartitionByRange(5, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    // synth ts = Base + conv_seq*60s + turn*1s; retain only the newest ~20
+    // conversations' worth of event time
+    val now = TranscriptSynth.BaseTsMillis + 50L * 60000
+    val age = 20L * 60000
+    val cutoff = now - age
+    val expect = data.where(col("ts") >= timestamp_millis(lit(cutoff))).count()
+    assert(expect > 0 && expect < data.count(), "cutoff must split the corpus")
+
+    val r = Maintenance.runCycle(t, "cyc-ret", targetFileRows = 100,
+      groupTargetBytes = 64L << 10, retainLast = 2,
+      rowRetentionMs = Some(age), nowMs = now)
+    assert(r.rowRetention.exists(_.deletedRows > 0))
+    assert(t.scan().df.count() == expect)
+    assert(t.scan().df.where(col("ts") < timestamp_millis(lit(cutoff))).count() == 0)
+    // idempotent same-cycle replay
+    val rb = Maintenance.runCycle(t, "cyc-ret", targetFileRows = 100,
+      groupTargetBytes = 64L << 10, retainLast = 2,
+      rowRetentionMs = Some(age), nowMs = now)
+    assert(rb.rowRetention.exists(_.deletedRows == 0) && t.scan().df.count() == expect)
+  }
+
   test("maintenance cycle: compact+cluster+expire+gc in one idempotent call") {
     import spark.implicits._
     val t = LakeTable.create(spark, tmpTable("cycle"), TranscriptSynth.schema)
