@@ -174,16 +174,26 @@ class LakeTable(val root: String, val spark: SparkSession) {
   def overlappingEntries(snap: Snapshot,
                          convRange: Option[(String, String)],
                          turnRange: Option[(Int, Int)] = None): LakeTable.PrunedEntries = {
+    val box = IntervalDnf.Conj(
+      IntervalDnf.Bounds(convRange.map(_._1), convRange.map(_._2)),
+      IntervalDnf.Bounds(turnRange.map(_._1), turnRange.map(_._2)),
+      IntervalDnf.Bounds[Long](None, None))
+    overlappingEntriesBoxes(snap, Seq(box))
+  }
+
+  /** The general form of the two-level prune: a file/manifest is a
+    * candidate iff its stats overlap ANY box of an interval DNF
+    * ([[IntervalDnf]] — 3 dimensions: conv, turn, event-time micros).
+    * An EMPTY box list (statically unsatisfiable predicate) selects
+    * nothing while still opening zero manifests.
+    */
+  def overlappingEntriesBoxes(snap: Snapshot,
+                              boxes: Seq[IntervalDnf.Conj]): LakeTable.PrunedEntries = {
     val refs = snap.manifests
-    val overlapping = refs.filter { r =>
-      convRange.forall { case (lo, hi) => r.overlapsConv(lo, hi) } &&
-      turnRange.forall { case (lo, hi) => r.overlapsTurn(lo, hi) }
-    }
+    val overlapping = refs.filter(r => boxes.exists(_.overlapsManifest(r)))
     val entries = overlapping.flatMap { r =>
-      manifest(r.path).entries.withFilter { f =>
-        convRange.forall { case (lo, hi) => f.overlapsConv(lo, hi) } &&
-        turnRange.forall { case (lo, hi) => f.overlapsTurn(lo, hi) }
-      }.map(FileEntry(r.path, _))
+      manifest(r.path).entries.withFilter(f => boxes.exists(_.overlapsFile(f)))
+        .map(FileEntry(r.path, _))
     }
     LakeTable.PrunedEntries(entries, refs.map(_.entryCount).sum,
       refs.size.toLong, overlapping.size.toLong)
@@ -214,6 +224,11 @@ class LakeTable(val root: String, val spark: SparkSession) {
   def writeDataFiles(df: DataFrame, tag: String): Vector[DataFile] = {
     val unique = java.util.UUID.randomUUID().toString.take(8)
     val staging = Paths.get(root, s"_staging-$tag-$unique")
+    // TIMESTAMP_MICROS (not Spark's INT96 default): INT96 persists NO
+    // footer statistics, and the event-time min/max per file is what lets
+    // a row-retention DELETE prune to the files that can contain expired
+    // rows instead of reading the whole table every cadence tick.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // zstd: ~2x smaller files than snappy for this text-heavy schema —
     // scans read fewer bytes and maintenance I/O shifts toward CPU, which
     // scales with executors while disks don't.
@@ -233,10 +248,16 @@ class LakeTable(val root: String, val spark: SparkSession) {
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
         val st = ParquetStats.read(target.toString, conf)
         DataFile(rel, st.rows, Files.size(target),
-          st.minConv, st.maxConv, st.minTurn, st.maxTurn)
+          st.minConv, st.maxConv, st.minTurn, st.maxTurn,
+          minTsUs = st.minTsUs, maxTsUs = st.maxTsUs)
     }
     deleteRecursively(staging)
-    entries
+    // An ACTIVE sketch store rides along with every write: the rows are
+    // already hot here, so signatures cost one extra pass over this write's
+    // output instead of a later full re-read — and pure rewrites
+    // (compaction/clustering/delete survivors) keep the table sketch-
+    // covered with zero ensure()-time compute.
+    graft.maintain.Sketches.sketchOnWrite(this, entries, s"$tag-$unique")
   }
 
   /** Plain append: write `df` (must match the table schema) as new files

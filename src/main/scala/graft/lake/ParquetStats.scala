@@ -22,10 +22,12 @@ object ParquetStats {
   final case class FileStats(
       rows: Long,
       minConv: Option[String], maxConv: Option[String],
-      minTurn: Option[Int], maxTurn: Option[Int])
+      minTurn: Option[Int], maxTurn: Option[Int],
+      minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None)
 
   def read(absPath: String, conf: Configuration,
-           convCol: String = "conv_id", turnCol: String = "turn_idx"): FileStats = {
+           convCol: String = "conv_id", turnCol: String = "turn_idx",
+           tsCol: String = "ts"): FileStats = {
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(absPath), conf)
     val reader = ParquetFileReader.open(in)
     try {
@@ -67,9 +69,18 @@ object ParquetStats {
         case other => other.toString.toInt
       }
 
+      def asLong(o: AnyRef): Long = o match {
+        case l: java.lang.Long => l.longValue
+        case other => other.toString.toLong
+      }
+
       val (minC, maxC) = ranged(convCol, asStr)
       val (minT, maxT) = ranged(turnCol, asInt)
-      FileStats(rows, minC, maxC, minT, maxT)
+      // epoch-microsecond range: present only when the writer used
+      // TIMESTAMP_MICROS (INT64) — INT96 carries no stats, and the all-null
+      // / missing-column cases degrade to None exactly like conv/turn
+      val (minTs, maxTs) = ranged(tsCol, asLong)
+      FileStats(rows, minC, maxC, minT, maxT, minTs, maxTs)
     } finally reader.close()
   }
 }

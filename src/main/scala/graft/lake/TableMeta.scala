@@ -62,6 +62,14 @@ object TableSchema {
 /** One immutable Parquet data file with pruning stats. `path` is relative
   * to the table root. Missing stats (null mins) disable pruning for the
   * file — it is always selected (safe).
+  *
+  * `minTsUs`/`maxTsUs`: event-time range in epoch MICROseconds (Parquet
+  * TIMESTAMP_MICROS footer stats), driving row-retention pruning the same
+  * way conv/turn ranges drive scan pruning. `sketch`: the consolidated
+  * sketch batch (table-relative dir) covering this file's near-dup
+  * signatures, if one was published — coverage truth lives HERE, in the
+  * manifest entry, not in a per-file directory stat (the 10^6-file
+  * design point makes dir-per-file listing the bottleneck).
   */
 final case class DataFile(
     path: String,
@@ -70,13 +78,20 @@ final case class DataFile(
     minConv: Option[String],
     maxConv: Option[String],
     minTurn: Option[Int],
-    maxTurn: Option[Int]) {
+    maxTurn: Option[Int],
+    minTsUs: Option[Long] = None,
+    maxTsUs: Option[Long] = None,
+    sketch: Option[String] = None) {
 
   def overlapsConv(lo: String, hi: String): Boolean = (minConv, maxConv) match {
     case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
     case _ => true
   }
   def overlapsTurn(lo: Int, hi: Int): Boolean = (minTurn, maxTurn) match {
+    case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
+    case _ => true
+  }
+  def overlapsTsUs(lo: Long, hi: Long): Boolean = (minTsUs, maxTsUs) match {
     case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
     case _ => true
   }
@@ -100,13 +115,19 @@ final case class ManifestRef(
     maxConv: Option[String],
     minTurn: Option[Int],
     maxTurn: Option[Int],
-    bytes: Long = 0L) { // 0 = written before byte sums were persisted
+    bytes: Long = 0L, // 0 = written before byte sums were persisted
+    minTsUs: Option[Long] = None,
+    maxTsUs: Option[Long] = None) {
 
   def overlapsConv(lo: String, hi: String): Boolean = (minConv, maxConv) match {
     case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
     case _ => true
   }
   def overlapsTurn(lo: Int, hi: Int): Boolean = (minTurn, maxTurn) match {
+    case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
+    case _ => true
+  }
+  def overlapsTsUs(lo: Long, hi: Long): Boolean = (minTsUs, maxTsUs) match {
     case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
     case _ => true
   }
@@ -125,7 +146,8 @@ object ManifestRef {
     ManifestRef(path, entries.size.toLong, entries.map(_.rows).sum,
       agg[String](_.minConv, _.min), agg[String](_.maxConv, _.max),
       agg[Int](_.minTurn, _.min), agg[Int](_.maxTurn, _.max),
-      bytes = entries.map(_.bytes).sum)
+      bytes = entries.map(_.bytes).sum,
+      minTsUs = agg[Long](_.minTsUs, _.min), maxTsUs = agg[Long](_.maxTsUs, _.max))
   }
 }
 
@@ -170,13 +192,18 @@ object MetaJson {
     o.put("path", d.path); o.put("rows", d.rows); o.put("bytes", d.bytes)
     d.minConv.foreach(o.put("min_conv", _)); d.maxConv.foreach(o.put("max_conv", _))
     d.minTurn.foreach(o.put("min_turn", _)); d.maxTurn.foreach(o.put("max_turn", _))
+    d.minTsUs.foreach(o.put("min_ts_us", _)); d.maxTsUs.foreach(o.put("max_ts_us", _))
+    d.sketch.foreach(o.put("sketch", _))
     o
   }
 
   def dataFileFromJson(n: JsonNode): DataFile = DataFile(
     n.get("path").asText, n.get("rows").asLong, n.get("bytes").asLong,
     opt(n, "min_conv").map(_.asText), opt(n, "max_conv").map(_.asText),
-    opt(n, "min_turn").map(_.asInt), opt(n, "max_turn").map(_.asInt))
+    opt(n, "min_turn").map(_.asInt), opt(n, "max_turn").map(_.asInt),
+    minTsUs = opt(n, "min_ts_us").map(_.asLong),
+    maxTsUs = opt(n, "max_ts_us").map(_.asLong),
+    sketch = opt(n, "sketch").map(_.asText))
 
   def manifestToJson(m: Manifest): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -194,6 +221,7 @@ object MetaJson {
     o.put("bytes", r.bytes)
     r.minConv.foreach(o.put("min_conv", _)); r.maxConv.foreach(o.put("max_conv", _))
     r.minTurn.foreach(o.put("min_turn", _)); r.maxTurn.foreach(o.put("max_turn", _))
+    r.minTsUs.foreach(o.put("min_ts_us", _)); r.maxTsUs.foreach(o.put("max_ts_us", _))
     o
   }
 
@@ -201,7 +229,9 @@ object MetaJson {
     n.get("path").asText, n.get("entry_count").asLong, n.get("rows").asLong,
     opt(n, "min_conv").map(_.asText), opt(n, "max_conv").map(_.asText),
     opt(n, "min_turn").map(_.asInt), opt(n, "max_turn").map(_.asInt),
-    bytes = opt(n, "bytes").map(_.asLong).getOrElse(0L))
+    bytes = opt(n, "bytes").map(_.asLong).getOrElse(0L),
+    minTsUs = opt(n, "min_ts_us").map(_.asLong),
+    maxTsUs = opt(n, "max_ts_us").map(_.asLong))
 
   def snapshotToJson(s: Snapshot): ObjectNode = {
     val o = mapper.createObjectNode()

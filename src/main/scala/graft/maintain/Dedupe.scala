@@ -60,6 +60,7 @@ object Dedupe {
               unit: String = "turn",
               minJaccard: Double = 0.9,
               maxIters: Int = 50,
+              maxConvChars: Long = 8L << 20,
               targetFileRows: Long = 1L << 20,
               groupTargetBytes: Long = 256L << 20,
               interruptAfter: Int = Int.MaxValue): Result = {
@@ -84,7 +85,9 @@ object Dedupe {
     // different mode/unit/minTokens must fail loudly instead of silently
     // applying a victim set computed under other rules (Clustering pins its
     // curve in the plan for the same reason)
-    val planKind = s"dedupe:$mode:$unit:$minTokens"
+    val planKind =
+      if (unit == "conversation") s"dedupe:$mode:$unit:$minTokens:cap$maxConvChars"
+      else s"dedupe:$mode:$unit:$minTokens"
 
     // ---- plan: compute + persist the victim set, group touched files ----
     val plan = Ledger.readPlan(table, jobId) match {
@@ -102,7 +105,8 @@ object Dedupe {
       case None =>
         val victims =
           if (unit == "conversation")
-            computeConvVictims(table, mode, minTokens, minJaccard, maxIters)
+            computeConvVictims(table, mode, minTokens, minJaccard, maxIters,
+              maxConvChars)
           else computeVictims(table, mode, minTokens, minJaccard, maxIters)
         // atomic publish: write to a tmp dir, move over — a crash mid-write
         // can never leave a torn victim set a resume would trust
@@ -343,7 +347,8 @@ object Dedupe {
   private[maintain] def computeConvVictims(table: LakeTable, mode: String,
                                            minTokens: Int,
                                            minJaccard: Double = 0.9,
-                                           maxIters: Int = 50): DataFrame = {
+                                           maxIters: Int = 50,
+                                           maxConvChars: Long = 8L << 20): DataFrame = {
     val spark = table.spark
     val paths = table.currentFiles.map(f => table.absData(f.path))
     val rows = spark.read.schema(table.schema.toStruct).parquet(paths: _*)
@@ -353,7 +358,21 @@ object Dedupe {
         Dedup.normalizedText(col("text")).as("__tn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val conv = rows
+    // Robustness gate BEFORE the text assembly: per-conv total length is a
+    // cheap map-side-combining agg, and only conversations under the cap
+    // reach the collect_list — one degenerate 10^8-turn conversation must
+    // fail GRACEFULLY (skipped with a loud note, never a victim) instead
+    // of OOMing the task that concatenates it.
+    val lens = rows.groupBy(col("conv_id"))
+      .agg(sum(length(col("__tn")) + lit(1)).as("__clen"))
+    val nOversized = lens.where(col("__clen") > maxConvChars).count()
+    if (nOversized > 0)
+      System.err.println(s"[graft.dedupe] conv-unit pass: skipping " +
+        s"$nOversized conversation(s) over $maxConvChars normalized chars " +
+        "(kept verbatim, excluded from dedup)")
+    val eligible = lens.where(col("__clen") <= maxConvChars).select("conv_id")
+
+    val conv = rows.join(eligible, Seq("conv_id"))
       .groupBy(col("conv_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("turn_idx"), col("__tn")))),

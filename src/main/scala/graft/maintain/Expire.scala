@@ -100,8 +100,14 @@ object Expire {
   private[maintain] def tolerantDataPaths(
       table: LakeTable, manifestPaths: Seq[String],
       failures: scala.collection.mutable.Builder[String, Vector[String]]): Vector[String] =
+    tolerantEntries(table, manifestPaths, failures).map(_.path)
+
+  /** Full entries variant (paths + sketch-batch refs), same tolerance. */
+  private[maintain] def tolerantEntries(
+      table: LakeTable, manifestPaths: Seq[String],
+      failures: scala.collection.mutable.Builder[String, Vector[String]]): Vector[graft.lake.DataFile] =
     manifestPaths.distinct.toVector.flatMap { p =>
-      try table.manifest(p).entries.map(_.path)
+      try table.manifest(p).entries
       catch {
         case e: java.nio.file.NoSuchFileException =>
           failures += s"$p: missing (skipped): ${e.getMessage}"
@@ -183,10 +189,10 @@ object OrphanGc {
     // (Manifests are SHARED across snapshots; each parses once. A manifest
     // a prior half-failed expire already removed reads as empty — only
     // NoSuchFile is tolerated, an IO error must not shrink the set.)
-    val referenced =
-      Expire.tolerantDataPaths(table,
-        remaining.flatMap(_.manifestPaths), failures).toSet ++
-        Ledger.allTaskRows(table).flatMap(_.outFiles.map(_.path))
+    val remainingEntries =
+      Expire.tolerantEntries(table, remaining.flatMap(_.manifestPaths), failures)
+    val ledgerOut = Ledger.allTaskRows(table).flatMap(_.outFiles)
+    val referenced = remainingEntries.map(_.path).toSet ++ ledgerOut.map(_.path)
     val dataDir = Paths.get(table.root, "data")
     if (Files.exists(dataDir)) {
       val stream = Files.list(dataDir)
@@ -200,9 +206,11 @@ object OrphanGc {
     }
 
     // ---- sketch sweep ----------------------------------------------------
-    // per-file sketch dirs mirror immutable data files; once the data file
-    // is unreferenced (expired/superseded), its sketches are dead weight
-    Sketches.sweepOrphans(table, referenced, oldEnough, deletedMeta, failures)
+    // a batch dir stays while ANY snapshot entry or ledger checkpoint
+    // still points at it; past that it is dead weight
+    val referencedBatches =
+      (remainingEntries.flatMap(_.sketch) ++ ledgerOut.flatMap(_.sketch)).toSet
+    Sketches.sweepOrphans(table, referencedBatches, oldEnough, deletedMeta, failures)
 
     Result(deleted.result(), failures.result(), deletedMeta.result())
   }

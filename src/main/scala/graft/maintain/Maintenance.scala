@@ -84,9 +84,14 @@ object Maintenance {
       Dedupe.runPass(table, s"$cycleId-dedupe", mode = m,
         groupTargetBytes = groupTargetBytes))
     val rowExpired = rowRetentionMs.map { age =>
-      DeleteFrom.run(table, s"$cycleId-rowexpire",
-        s"ts < timestamp_millis(${nowMs - age}L)",
-        groupTargetBytes = groupTargetBytes)
+      val jobId = s"$cycleId-rowexpire"
+      // A re-invoked crashed cycle replays the predicate the ORIGINAL run
+      // pinned (the ledger sidecar records it) — the default wall-clock
+      // nowMs would otherwise shift the cutoff and trip the
+      // changed-predicate guard on the natural retry path.
+      val predSql = DeleteFrom.plannedPredicate(table, jobId)
+        .getOrElse(s"ts < timestamp_millis(${nowMs - age}L)")
+      DeleteFrom.run(table, jobId, predSql, groupTargetBytes = groupTargetBytes)
     }
     val clustered = Clustering.cluster(table, s"$cycleId-cluster",
       targetFileRows = targetFileRows, groupTargetBytes = groupTargetBytes)

@@ -99,11 +99,20 @@ object MergeInto {
     // NOTHING. Writing an empty data file per no-op merge would litter one
     // manifest entry per maintenance cadence tick on sparse drop streams —
     // 60-minute cadence, quiet weekend => dozens of empty files for
-    // compaction to sweep. Schema evolution can't be pending either: no
-    // staged rows means no new columns worth recording.
+    // compaction to sweep. EXCEPT a schema-only drop: a zero-row batch that
+    // still carries NEW columns must commit the widened schema (metadata
+    // only, no data files) — silently dropping the evolution would lose the
+    // one thing that batch said.
     if (stagedRows == 0 && touched.isEmpty) {
       aligned.unpersist()
       dedup.unpersist()
+      if (evolvedSchema != table.schema) {
+        val snapEv = table.commitDelta(Vector.empty, Vector.empty, "merge",
+          Some(evolvedSchema), Map("merge_tag" -> tag, "schema_only" -> "true"))
+        return Result(snapEv, 0, carried, 0L, rejectedRows,
+          openedManifests = pruned.openedManifests.toInt,
+          totalManifests = pruned.totalManifests.toInt)
+      }
       val cur = table.currentSnapshot.get
       return Result(cur, 0, carried, 0L, rejectedRows,
         openedManifests = pruned.openedManifests.toInt,

@@ -2,36 +2,46 @@ package graft.maintain
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.functions.Dedup
-import graft.lake.{LakeTable, MetaJson}
+import graft.lake.{DataFile, LakeTable, MetaJson}
 
-/** Lake-managed per-file sketch columns: MinHash signatures + SimHash
-  * fingerprints of each turn's normalized text, persisted ONCE per
-  * immutable data file under `<root>/sketches/<datafile-basename>/`.
+/** Lake-managed sketch columns: MinHash signatures + SimHash fingerprints
+  * of each turn's normalized text, computed ONCE per immutable data file
+  * and persisted in CONSOLIDATED batch files, with coverage recorded in
+  * the table's own manifests (`DataFile.sketch` = the batch that covers
+  * the file).
   *
   * Why: at 100 TB, the sketch build (a full decompress-and-hash pass over
-  * every text) dominates a dedup pass's cost. Data files are immutable, so
-  * their sketches are too — computing them once per FILE instead of once
-  * per PASS makes the steady-state dedup cadence O(files added since the
-  * last pass), the same incremental discipline [[Clustering]]'s dirty-slab
-  * reclustering applies to layout. The data-file basename (unique per
-  * write attempt, never reused — see [[LakeTable.writeDataFiles]]) keys the
-  * store, so coverage is simply "does the sketch dir exist": crash-safe
-  * (a torn write is re-staged, never trusted — publication is an atomic
-  * dir move), with no commit protocol of its own.
+  * every text) dominates a dedup pass's cost — signatures must be computed
+  * once per immutable FILE, not once per PASS. And at the 10^6-file design
+  * point, coverage truth must NOT be one directory per data file (3×10^6
+  * filesystem objects, a driver stat per file per ensure, a 10^6-dir
+  * parquet listing per dedup pass — the small-file problem rebuilt one
+  * level up, the round-4 finding). So:
   *
-  * Store layout:
-  * {{{
-  *   sketches/_meta.json                  sketch params (guarded, see ensure)
-  *   sketches/<basename>/part-*.parquet   (conv_id, turn_idx, minhash, simhash)
-  *   sketches/<basename>/.empty           marker: source file had no rows
-  * }}}
+  *   - one batch dir per WRITE (`sketches/batch-<tag>/part-*.parquet`,
+  *     columns conv_id, turn_idx, minhash, simhash, n_tokens, __src where
+  *     __src is the covered file's table-relative path);
+  *   - coverage lives in manifest entries: a file is covered iff its
+  *     `DataFile.sketch` points at a live batch — `ensure` on a covered
+  *     table is pure metadata (O(manifests) + O(batches) dir stats,
+  *     ZERO per-file filesystem stats);
+  *   - an ACTIVE store (its `_meta.json` exists) makes every
+  *     [[LakeTable.writeDataFiles]] sketch its own output while the rows
+  *     are hot ([[sketchOnWrite]]) — so pure rewrites (compaction,
+  *     clustering, dedupe/delete survivors) KEEP the table covered and a
+  *     recluster no longer invalidates the store (the round-4 finding #6);
+  *   - files written before activation (or whose batch was GC'd) are
+  *     healed by [[ensure]]: one consolidated batch for all missing files
+  *     plus a METADATA-ONLY commit stamping their entries.
   *
-  * GC: [[OrphanGc.removeOrphans]] sweeps sketch dirs whose data file is no
-  * longer referenced by any snapshot.
+  * Params are pinned store-wide in `_meta.json`: two signature generations
+  * must never silently mix into one banding pass. GC: [[sweepOrphans]]
+  * removes batch dirs referenced by no snapshot or ledger checkpoint.
   */
 object Sketches {
 
@@ -42,112 +52,144 @@ object Sketches {
       totalFiles: Int,
       computedFiles: Int)
 
-  private def storeDir(table: LakeTable): Path = Paths.get(table.root, "sketches")
-  private def dirFor(table: LakeTable, dataFileBasename: String): Path =
-    storeDir(table).resolve(dataFileBasename)
-
-  /** A sketch dir counts as covered when it was atomically published —
-    * either real part files or the explicit empty marker.
+  /** The consolidated batch schema — reads always pass it explicitly, so a
+    * batch whose write produced zero part files (all-empty inputs) still
+    * reads as a valid empty frame.
     */
-  private def covered(d: Path): Boolean =
-    Files.isDirectory(d) && (hasParts(d) || Files.exists(d.resolve(".empty")))
+  val sketchSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("minhash", ArrayType(LongType)),
+    StructField("simhash", LongType),
+    StructField("n_tokens", IntegerType),
+    StructField("__src", StringType)))
 
-  private def hasParts(d: Path): Boolean =
-    Files.isDirectory(d) &&
-      LakeTable.listDir(d).exists(_.getFileName.toString.endsWith(".parquet"))
+  private def storeDir(table: LakeTable): Path = Paths.get(table.root, "sketches")
+  private def metaPath(table: LakeTable): Path = storeDir(table).resolve("_meta.json")
 
-  /** Make the current snapshot fully sketch-covered, computing signatures
-    * ONLY for data files without a published sketch dir (files added by
-    * merges/compactions/dedup rewrites since the last call). One Spark job
-    * covers all missing files: read-with-provenance -> per-row native
-    * kernels -> write partitioned by source file -> atomic per-file dir
-    * moves. Returns the full sketch frame for the snapshot plus how many
-    * files actually computed.
-    *
-    * Params are pinned store-wide in `_meta.json`: calling with different
-    * params than the store was built with throws — two generations of
-    * signatures must never silently mix into one banding pass.
+  /** The store is ACTIVE once `_meta.json` exists (the first `ensure`
+    * writes it); only then do writes pay the sketch pass.
+    */
+  def isActive(table: LakeTable): Boolean = Files.exists(metaPath(table))
+
+  private def canSketch(table: LakeTable): Boolean = {
+    val names = table.currentSnapshot.map(_.schema.fieldNames.toSet)
+      .getOrElse(Set.empty)
+    Set("conv_id", "turn_idx", "text").subsetOf(names)
+  }
+
+  /** Called by [[LakeTable.writeDataFiles]] on every write: when the store
+    * is active, sketch THIS write's files (already hot) into one batch and
+    * stamp the entries; inactive tables pay nothing.
+    */
+  def sketchOnWrite(table: LakeTable, entries: Vector[DataFile],
+                    tag: String): Vector[DataFile] = {
+    if (entries.isEmpty || !isActive(table) || !canSketch(table)) entries
+    else {
+      val params = readParams(table)
+      val batch = computeBatch(table, entries.map(f => table.absData(f.path)), tag, params)
+      entries.map(_.copy(sketch = Some(batch)))
+    }
+  }
+
+  /** Make the current snapshot fully sketch-covered. Steady state (active
+    * store, write-path sketching) this is METADATA-ONLY: read manifests,
+    * see every entry's `sketch` points at a live batch, done. Files missing
+    * coverage (pre-activation writes, GC'd batches) compute ONE
+    * consolidated batch and their entries are re-stamped through a
+    * metadata-only commitDelta — same snapshot isolation and conflict
+    * semantics as any commit, no data file moves.
     */
   def ensure(table: LakeTable, params: Params = Params()): EnsureResult = {
     val spark = table.spark
-    val store = storeDir(table)
-    Files.createDirectories(store)
-    checkOrWriteMeta(store, params)
+    Files.createDirectories(storeDir(table))
+    checkOrWriteMeta(table, params)
 
-    val files = table.currentFiles
-    val missing = files.filterNot(f => covered(dirFor(table, basename(f.path))))
+    val entries = table.currentEntries
+    // O(batches) dir stats — NOT per-file: a batch is shared by a write's
+    // whole output, and a covered table has zero missing batches
+    val liveBatch: Set[String] = entries.flatMap(_.file.sketch).distinct
+      .filter(b => Files.isDirectory(Paths.get(table.root, b))).toSet
+    val missing = entries.filter(e => !e.file.sketch.exists(liveBatch))
 
-    if (missing.nonEmpty) {
-      val staging = store.resolve(s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
-      val rows = spark.read.schema(table.schema.toStruct)
-        .parquet(missing.map(f => table.absData(f.path)): _*)
-        .select(col("conv_id"), col("turn_idx"),
-          Dedup.normalizedText(col("text")).as("__tn"),
-          element_at(split(input_file_name(), "/"), -1).as("__file"))
-        .select(col("conv_id"), col("turn_idx"),
-          Dedup.minhashSignatureNative(col("__tn"), params.shingleK, params.numHashes)
-            .as("minhash"),
-          Dedup.simhash64Native(col("__tn")).as("simhash"),
-          // token count of the normalized text rides along so downstream
-          // eligibility filters (minTokens, non-empty) need no join back
-          // to the raw text
-          when(length(col("__tn")) === 0, 0)
-            .otherwise(size(split(col("__tn"), " "))).cast("int").as("n_tokens"),
-          col("__file"))
-      rows.write.mode("overwrite").partitionBy("__file")
-        .option("compression", "zstd").parquet(staging.toString)
+    val computed =
+      if (missing.nonEmpty) {
+        val tag = s"ensure-${java.util.UUID.randomUUID().toString.take(8)}"
+        val batch = computeBatch(table,
+          missing.map(e => table.absData(e.file.path)), tag, params)
+        table.commitDelta(
+          missing.map(_.file.copy(sketch = Some(batch))), missing, "sketch",
+          summary = Map("sketch_batch" -> batch,
+            "files_covered" -> missing.size.toString))
+        missing.size
+      } else 0
 
-      // publish: one atomic move per file dir; files that produced no rows
-      // (empty parquet parts are legal writer output) get the empty marker
-      missing.foreach { f =>
-        val b = basename(f.path)
-        val src = staging.resolve(s"__file=$b")
-        val dst = dirFor(table, b)
-        LakeTable.deleteRecursively(dst)
-        if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        else {
-          Files.createDirectories(dst)
-          Files.createFile(dst.resolve(".empty"))
-        }
-      }
-      LakeTable.deleteRecursively(staging)
-    }
-
-    val readable = files.map(f => dirFor(table, basename(f.path)))
-      .filter(hasParts).map(_.toString)
-    val sketches =
-      if (readable.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("conv_id",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("turn_idx",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("minhash",
-              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
-            org.apache.spark.sql.types.StructField("simhash",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("n_tokens",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("__src",
-              org.apache.spark.sql.types.StringType))))
-      else spark.read.parquet(readable: _*)
-        // provenance back to the TABLE-RELATIVE data path: the sketch dir
-        // is named after the data file it mirrors
-        .withColumn("__src",
-          concat(lit("data/"), element_at(split(input_file_name(), "/"), -2)))
-    EnsureResult(sketches, files.size, missing.size)
+    EnsureResult(sketchesFrame(table), entries.size, computed)
   }
 
-  private[maintain] def basename(relPath: String): String =
-    Paths.get(relPath).getFileName.toString
+  /** The full sketch frame for the CURRENT snapshot: read the distinct
+    * batches its entries reference, keep only rows of still-current files
+    * (a shared batch can carry rows for files a later op removed). The
+    * path set is metadata-sized, so the filter is a broadcast semi-join.
+    */
+  def sketchesFrame(table: LakeTable): DataFrame = {
+    val spark = table.spark
+    val entries = table.currentEntries
+    val batches = entries.flatMap(_.file.sketch).distinct
+      .map(b => Paths.get(table.root, b)).filter(Files.isDirectory(_))
+      .map(_.toString)
+    val base =
+      if (batches.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          sketchSchema)
+      else spark.read.schema(sketchSchema).parquet(batches: _*)
+    val current = spark.createDataset(entries.map(_.file.path))(Encoders.STRING)
+      .toDF("__src")
+    base.join(broadcast(current), Seq("__src"), "left_semi")
+      .select("conv_id", "turn_idx", "minhash", "simhash", "n_tokens", "__src")
+  }
 
-  /** Sweep sketch dirs whose data file is not in `referencedData` (relative
-    * `data/...` paths) — called from [[OrphanGc]] so expired/superseded
-    * files' sketches don't accumulate forever.
+  /** One Spark job sketches a set of files into one consolidated batch dir,
+    * published with an atomic move (a torn write is re-staged, never
+    * trusted). `__src` is a regular COLUMN (table-relative data path), not
+    * a partition dir — no per-file directories, no partition-name escaping
+    * hazards.
+    */
+  private def computeBatch(table: LakeTable, absPaths: Vector[String],
+                           tag: String, params: Params): String = {
+    val spark = table.spark
+    val store = storeDir(table)
+    Files.createDirectories(store)
+    val staging = store.resolve(s"_staging-$tag")
+    val rows = spark.read.schema(table.schema.toStruct).parquet(absPaths: _*)
+      .select(col("conv_id"), col("turn_idx"),
+        Dedup.normalizedText(col("text")).as("__tn"),
+        concat(lit("data/"),
+          element_at(split(input_file_name(), "/"), -1)).as("__src"))
+      .select(col("conv_id"), col("turn_idx"),
+        Dedup.minhashSignatureNative(col("__tn"), params.shingleK, params.numHashes)
+          .as("minhash"),
+        Dedup.simhash64Native(col("__tn")).as("simhash"),
+        // token count of the normalized text rides along so downstream
+        // eligibility filters (minTokens, non-empty) need no join back
+        // to the raw text
+        when(length(col("__tn")) === 0, 0)
+          .otherwise(size(split(col("__tn"), " "))).cast("int").as("n_tokens"),
+        col("__src"))
+    rows.write.mode("overwrite").option("compression", "zstd")
+      .parquet(staging.toString)
+    val rel = s"sketches/batch-$tag"
+    Files.move(staging, Paths.get(table.root, rel), StandardCopyOption.ATOMIC_MOVE)
+    rel
+  }
+
+  /** Sweep batch dirs referenced by NO snapshot entry and NO ledger
+    * checkpoint (`referencedBatches` = relative `sketches/batch-...`
+    * paths), plus crashed `_staging-*` residue — called from [[OrphanGc]].
+    * `_meta.json` is a file, untouched.
     */
   private[maintain] def sweepOrphans(
-      table: LakeTable, referencedData: Set[String],
+      table: LakeTable, referencedBatches: Set[String],
       oldEnough: Path => Boolean,
       deleted: scala.collection.mutable.Builder[String, Vector[String]],
       failures: scala.collection.mutable.Builder[String, Vector[String]]): Unit = {
@@ -155,12 +197,9 @@ object Sketches {
     if (!Files.exists(store)) return
     LakeTable.listDir(store).filter(Files.isDirectory(_)).foreach { d =>
       val name = d.getFileName.toString
-      // a data file's mirror dir is sweepable once the file is unreferenced;
-      // a `_staging-*` dir is a CRASHED ensure()'s residue (a live one is
-      // younger than any sane grace age) — `_meta.json` is a file, untouched
       val sweepable =
         if (name.startsWith("_staging-")) true
-        else !name.startsWith("_") && !referencedData(s"data/$name")
+        else !name.startsWith("_") && !referencedBatches(s"sketches/$name")
       if (sweepable) {
         try if (oldEnough(d)) {
           LakeTable.deleteRecursively(d); deleted += s"sketches/$name"
@@ -169,20 +208,25 @@ object Sketches {
     }
   }
 
-  private def checkOrWriteMeta(store: Path, params: Params): Unit = {
-    val meta = store.resolve("_meta.json")
+  private def readParams(table: LakeTable): Params = {
+    val n = MetaJson.read(Files.readString(metaPath(table)))
+    Params(n.get("shingle_k").asInt, n.get("num_hashes").asInt)
+  }
+
+  private def checkOrWriteMeta(table: LakeTable, params: Params): Unit = {
+    val meta = metaPath(table)
     if (Files.exists(meta)) {
-      val n = MetaJson.read(Files.readString(meta))
-      val existing = Params(n.get("shingle_k").asInt, n.get("num_hashes").asInt)
+      val existing = readParams(table)
       require(existing == params,
-        s"sketch store at $store was built with $existing, called with $params — " +
-          "two signature generations must not mix; delete the store to rebuild")
+        s"sketch store at ${storeDir(table)} was built with $existing, called " +
+          s"with $params — two signature generations must not mix; delete the " +
+          "store to rebuild")
     } else {
       val o = MetaJson.mapper.createObjectNode()
       o.put("shingle_k", params.shingleK)
       o.put("num_hashes", params.numHashes)
       o.put("normalization", "lower-ws-collapse")
-      val tmp = store.resolve("_meta.json.tmp")
+      val tmp = storeDir(table).resolve("_meta.json.tmp")
       Files.writeString(tmp, MetaJson.write(o))
       Files.move(tmp, meta, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)

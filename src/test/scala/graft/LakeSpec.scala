@@ -322,29 +322,46 @@ class LakeSpec extends AnyFunSuite {
     assert(pr.ratio >= 0.5, s"dedupe output must stay prunable: ${pr.ratio}")
   }
 
-  test("sketches: computed once per immutable file, incremental thereafter") {
+  test("sketches: ensure heals pre-activation files; writes then self-cover") {
     val t = LakeTable.create(spark, tmpTable("sketches"), TranscriptSynth.schema)
+    // written BEFORE the store exists: no coverage, no write-time cost
     t.append(synth(20).repartitionByRange(4, col("conv_id"), col("turn_idx"))
       .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    assert(t.currentFiles.forall(_.sketch.isEmpty))
 
+    // first ensure ACTIVATES the store and heals all 4 files in ONE
+    // consolidated batch + one metadata-only commit
+    val filesBefore = t.currentFiles.map(_.path).toSet
     val p1 = Sketches.ensure(t)
     assert(p1.totalFiles == 4 && p1.computedFiles == 4)
+    assert(t.currentFiles.map(_.path).toSet == filesBefore,
+      "coverage commit must be metadata-only (no data file churn)")
+    assert(t.currentFiles.forall(_.sketch.isDefined),
+      "coverage truth lives in the manifest entries")
+    assert(t.currentFiles.flatMap(_.sketch).distinct.size == 1,
+      "one consolidated batch, not one dir per file")
     assert(p1.sketches.count() == t.scan().df.count(),
       "one sketch row per table row")
     // sketch rows carry real signatures + token counts
     val row = p1.sketches.where(col("n_tokens") > 0).head()
     assert(row.getAs[scala.collection.Seq[Long]]("minhash").length == 32)
 
-    // pass 2 over the unchanged corpus: ZERO sketch compute
+    // pass 2 over the unchanged corpus: pure metadata, no commit
+    val snapBefore = t.currentSnapshotId.get
     val p2 = Sketches.ensure(t)
     assert(p2.computedFiles == 0, "unchanged corpus must recompute nothing")
+    assert(t.currentSnapshotId.get == snapBefore, "covered ensure must not commit")
 
-    // a drop adds files; only THEY compute
+    // the store is ACTIVE now: a new write sketches ITSELF — ensure finds
+    // nothing to heal
     t.append(synth(5).withColumn("conv_id", concat(lit("z"), col("conv_id")))
       .repartitionByRange(2, col("conv_id"), col("turn_idx")), "more")
+    assert(t.currentFiles.forall(_.sketch.isDefined),
+      "an active store makes every write carry its own sketches")
     val p3 = Sketches.ensure(t)
-    assert(p3.computedFiles == 2 && p3.totalFiles == 6,
-      s"only the appended files sketch; computed ${p3.computedFiles}")
+    assert(p3.computedFiles == 0 && p3.totalFiles == 6,
+      s"write-path sketching leaves ensure nothing: computed ${p3.computedFiles}")
+    assert(p3.sketches.count() == t.scan().df.count())
 
     // params are pinned store-wide
     intercept[IllegalArgumentException] {
@@ -352,27 +369,38 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
-  test("sketches: orphan sweep removes dirs of unreferenced data files only") {
+  test("sketches survive a recluster: rewrite outputs arrive covered") {
+    val t = LakeTable.create(spark, tmpTable("sketches-recluster"), TranscriptSynth.schema)
+    t.append(synth(100).repartition(8), "init")
+    assert(Sketches.ensure(t).computedFiles == 8)
+    Clustering.cluster(t, "sk-cluster", targetFileRows = 200)
+    assert(t.currentFiles.forall(_.sketch.isDefined),
+      "clustered outputs must carry sketch coverage from their own write")
+    val after = Sketches.ensure(t)
+    assert(after.computedFiles == 0,
+      s"a recluster must not invalidate coverage: ${after.computedFiles} re-sketched")
+    assert(after.sketches.count() == t.scan().df.count())
+  }
+
+  test("sketches: orphan sweep removes unreferenced batches only") {
     val t = LakeTable.create(spark, tmpTable("sketches-gc"), TranscriptSynth.schema)
     t.append(synth(20).repartition(6), "init")
-    Sketches.ensure(t)
-    val before = LakeTable.listDir(Paths.get(t.root, "sketches"))
-      .count(java.nio.file.Files.isDirectory(_))
-    assert(before == 6)
+    Sketches.ensure(t) // batch 1 covers the 6 loaded files
 
-    // compaction supersedes the small files; expiry drops the old snapshot
+    // compaction supersedes the small files — its output writes batch 2
     Compaction.compact(t, "sg-compact", smallFileBytes = 1L << 30, targetBytes = 1L << 30)
-    Sketches.ensure(t) // sketch the compacted output too
+    assert(t.currentFiles.forall(_.sketch.isDefined))
     Expire.expire(t, retainLast = 1)
-    // plant a crashed ensure()'s staging residue: swept past the grace age
+    // plant a crashed batch write's staging residue: swept past the grace age
     val crashed = Paths.get(t.root, "sketches", "_staging-deadbeef")
     java.nio.file.Files.createDirectories(crashed)
     val gc = OrphanGc.removeOrphans(t, olderThanMs = 0L, adoptGuardMs = 0L)
-    assert(gc.deletedMeta.count(_.startsWith("sketches/")) == 7,
-      s"superseded files' sketches + crashed staging swept: ${gc.deletedMeta}")
+    assert(gc.deletedMeta.count(_.startsWith("sketches/")) == 2,
+      s"batch of expired files + crashed staging swept: ${gc.deletedMeta}")
     assert(!java.nio.file.Files.exists(crashed))
-    // current file's sketches survive and still cover the table
+    // current files' batch survives and still covers the table
     assert(Sketches.ensure(t).computedFiles == 0)
+    assert(Sketches.sketchesFrame(t).count() == t.scan().df.count())
   }
 
   test("DELETE FROM: predicate rows removed, non-overlapping files untouched") {
@@ -437,6 +465,126 @@ class LakeSpec extends AnyFunSuite {
     assert(res.deletedRows == toDelete)
     assert(t.scan().df.count() == total - toDelete)
     assert(t.scan().df.where(col("role") === "tool").count() == 0)
+  }
+
+  test("DELETE FROM: zero-victim files never rewritten (O(matching files))") {
+    val t = LakeTable.create(spark, tmpTable("delete-sparse"), TranscriptSynth.schema)
+    val data = synth(100)
+    t.append(data.repartitionByRange(10, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    val filesBefore = t.currentFiles.map(_.path).toSet
+    assert(filesBefore.size == 10)
+
+    // UNHINTED delete whose matches live in ~1 slab: only the files that
+    // CONTAIN matching rows may be rewritten — every other file's NAME must
+    // survive (no churn, no sketch invalidation)
+    val res = DeleteFrom.run(t, "sparse-del",
+      "conv_id BETWEEN 'c00000020' AND 'c00000024' AND role = 'user'")
+    assert(res.deletedRows > 0)
+    assert(res.touchedFiles <= 2,
+      s"a 5-conv delete on a 10-slab table must touch <=2 files, " +
+        s"touched ${res.touchedFiles}")
+    val filesAfter = t.currentFiles.map(_.path).toSet
+    assert((filesBefore & filesAfter).size >= 8,
+      s"zero-victim files must carry with names unchanged: " +
+        s"${(filesBefore & filesAfter).size} of 10 carried")
+    assert(t.scan().df.count() ==
+      data.where(!(col("conv_id").between("c00000020", "c00000024") &&
+        col("role") === "user")).count())
+  }
+
+  test("row retention prunes on per-file ts stats; resume survives default nowMs") {
+    val t = LakeTable.create(spark, tmpTable("delete-tsprune"), TranscriptSynth.schema)
+    // synth ts = Base + conv_seq*60s + turn*1s and the load is conv-range
+    // partitioned, so event time correlates with the file layout. The hot
+    // conversation is excluded here: its 1000 turns span half the slabs and
+    // would legitimately hold expired rows in each — this test isolates the
+    // PRUNING claim, the skew case is covered by the skew test.
+    val data = synth(100).where(col("conv_id") =!= "c00000000")
+    t.append(data.repartitionByRange(10, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    assert(t.currentFiles.forall(f => f.minTsUs.isDefined && f.maxTsUs.isDefined),
+      "TIMESTAMP_MICROS writes must persist per-file event-time stats")
+    val filesBefore = t.currentFiles.map(_.path).toSet
+
+    // cutoff expires only the OLDEST conversations (~1 slab): the ts-stat
+    // prune must keep every newer file out of the candidate set entirely
+    val cutoffMs = TranscriptSynth.BaseTsMillis + 10L * 60000
+    val expect = data.where(col("ts") >= timestamp_millis(lit(cutoffMs))).count()
+    val res = DeleteFrom.run(t, "ts-del", s"ts < timestamp_millis(${cutoffMs}L)")
+    assert(res.deletedRows == data.count() - expect && res.deletedRows > 0)
+    assert(res.touchedFiles <= 2,
+      s"a 10-min retention tick must rewrite only the old slab(s): " +
+        s"touched ${res.touchedFiles} of 10")
+    assert((filesBefore & t.currentFiles.map(_.path).toSet).size >= 8)
+    assert(t.scan().df.count() == expect)
+
+    // crashed-cycle resume with DEFAULT nowMs: the cycle replays the
+    // predicate its first invocation pinned instead of deriving a new
+    // cutoff from the wall clock and tripping the changed-predicate guard
+    val t2 = LakeTable.create(spark, tmpTable("delete-resume-now"), TranscriptSynth.schema)
+    t2.append(synth(40).repartitionByRange(4, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx"), "init")
+    val cut2 = TranscriptSynth.BaseTsMillis + 20L * 60000
+    // mirror a real crashed cycle: its compaction phase COMMITTED, then the
+    // row-retention delete died after pinning its plan
+    Compaction.compact(t2, "cyc-x-compact")
+    intercept[Exception] { // crash AFTER the plan is pinned
+      DeleteFrom.run(t2, "cyc-x-rowexpire", s"ts < timestamp_millis(${cut2}L)",
+        interruptAfter = 0)
+    }
+    assert(DeleteFrom.plannedPredicate(t2, "cyc-x-rowexpire")
+      .contains(s"ts < timestamp_millis(${cut2}L)"))
+    // the retried cycle (fresh wall clock) must resume cleanly
+    val r = Maintenance.runCycle(t2, "cyc-x", targetFileRows = 100,
+      groupTargetBytes = 64L << 10, retainLast = 2,
+      rowRetentionMs = Some(1L)) // default nowMs — irrelevant, plan wins
+    assert(r.rowRetention.exists(_.deletedRows > 0))
+    assert(t2.scan().df
+      .where(col("ts") < timestamp_millis(lit(cut2))).count() == 0)
+  }
+
+  test("DELETE FROM: a hint narrower than the predicate fails loudly") {
+    val t = LakeTable.create(spark, tmpTable("delete-badhint"), TranscriptSynth.schema)
+    t.append(synth(30), "init")
+    // predicate can match c...00-c...29 but the hint claims only c...10-19:
+    // trusting it would leave matching rows alive — must refuse
+    val e = intercept[IllegalArgumentException] {
+      DeleteFrom.run(t, "bad-hint",
+        "conv_id BETWEEN 'c00000000' AND 'c00000029'",
+        convRange = Some(("c00000010", "c00000019")))
+    }
+    assert(e.getMessage.contains("narrower"))
+    // an unbounded predicate with any hint is also inconsistent
+    intercept[IllegalArgumentException] {
+      DeleteFrom.run(t, "bad-hint2", "role = 'tool'",
+        convRange = Some(("c00000010", "c00000019")))
+    }
+    // a hint that CONTAINS the predicate's range is fine
+    val ok = DeleteFrom.run(t, "good-hint",
+      "conv_id BETWEEN 'c00000010' AND 'c00000012'",
+      convRange = Some(("c00000000", "c00000019")))
+    assert(ok.deletedRows > 0)
+  }
+
+  test("merge: a zero-row drop carrying NEW columns commits the widened schema") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("merge-schema-only"), TranscriptSynth.schema)
+    t.append(synth(5), "init")
+    val snapBefore = t.currentSnapshotId.get
+    val filesBefore = t.currentFiles.map(_.path)
+    // all rows rejected (unparseable key), but the batch declares `lang`
+    val staged = Seq(("c00000001", "not-a-number", "user", "x", "", "es", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "lang", "_seq")
+    val r = MergeInto.merge(t, staged, "schema-only-drop")
+    assert(r.stagedRows == 0 && r.rejectedRows == 1)
+    assert(t.currentSnapshotId.get == snapBefore + 1,
+      "schema-only evolution must commit (metadata only)")
+    assert(t.schema.fieldNames.contains("lang"),
+      "the widened schema must not be silently dropped")
+    assert(t.currentFiles.map(_.path) == filesBefore, "no data file churn")
+    // and the evolved column reads as null on existing rows
+    assert(t.scan().df.where(col("lang").isNull).count() == t.scan().df.count())
   }
 
   test("compaction: many small files bin-packed, content identical") {

@@ -231,6 +231,108 @@ class PlansSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM travel_t_v1").head().getLong(0) == v1Rows)
   }
 
+  test("event-time predicates prune files through the SQL scan path") {
+    val t = freshTable("plans-tsprune", 200, 20)
+    GraftPlans.install(spark)
+    GraftPlans.scan(spark, t).createOrReplaceTempView("transcripts_ts")
+    // synth ts = 2024-01-01 + conv_seq*60s (+turn*1s): a 1-minute head
+    // slice lives in the first conv slab plus the hot conversation's
+    // earliest turn slab, and the per-file TIMESTAMP_MICROS stats must
+    // keep the rest of the 20 files out of the physical scan
+    val q = spark.sql(
+      "SELECT count(*) FROM transcripts_ts WHERE ts < TIMESTAMP '2024-01-01 00:01:00'")
+    val expected = t.scan().df
+      .where(col("ts") < to_timestamp(lit("2024-01-01 00:01:00"))).count()
+    assert(q.head().getLong(0) == expected && expected > 0)
+    val files = scannedFiles(spark.sql(
+      "SELECT * FROM transcripts_ts WHERE ts < TIMESTAMP '2024-01-01 00:01:00'"))
+    assert(files <= 3, s"ts range must prune to the head slabs, read $files of 20")
+  }
+
+  test("registered _snapshots view is LIVE: later commits appear without re-register") {
+    val t = freshTable("plans-livesnaps", 30, 3)
+    GraftPlans.registerTable(spark, t, "live_t")
+    val before = spark.sql("SELECT count(*) FROM live_t_snapshots").head().getLong(0)
+    t.append(TranscriptSynth.turns(spark, 5, seed = 45L)
+      .withColumn("conv_id", concat(lit("w"), col("conv_id"))), "late-append")
+    val after = spark.sql("SELECT count(*) FROM live_t_snapshots").head().getLong(0)
+    assert(after == before + 1,
+      s"snapshots listing must track commits live: $before -> $after")
+    // newest first, and the new commit leads
+    val top = spark.sql(
+      "SELECT operation FROM live_t_snapshots ORDER BY snapshot_id DESC LIMIT 1")
+      .head().getString(0)
+    assert(top == "append")
+  }
+
+  test("SQL DELETE FROM statement runs the engine delete end-to-end") {
+    val t = freshTable("plans-sqldelete", 100, 10)
+    GraftPlans.registerTable(spark, t, "sqldel_t")
+    val before = spark.sql("SELECT count(*) FROM sqldel_t").head().getLong(0)
+    val inRange = spark.sql(
+      """SELECT count(*) FROM sqldel_t
+        |WHERE conv_id BETWEEN 'c00000010' AND 'c00000019'""".stripMargin)
+      .head().getLong(0)
+    assert(inRange > 0)
+    val filesBefore = t.currentFiles.map(_.path).toSet
+
+    val res = spark.sql(
+      "DELETE FROM sqldel_t WHERE conv_id BETWEEN 'c00000010' AND 'c00000019'")
+    assert(res.columns.toSeq == Seq("deleted_rows"))
+    assert(res.head().getLong(0) == inRange)
+    // the LIVE view sees the post-delete snapshot immediately
+    assert(spark.sql("SELECT count(*) FROM sqldel_t").head().getLong(0)
+      == before - inRange)
+    assert(spark.sql(
+      """SELECT count(*) FROM sqldel_t
+        |WHERE conv_id BETWEEN 'c00000010' AND 'c00000019'""".stripMargin)
+      .head().getLong(0) == 0)
+    // O(matching files): the statement's predicate drove metadata pruning
+    val carried = (filesBefore & t.currentFiles.map(_.path).toSet).size
+    assert(carried >= 8, s"a 1-slab SQL DELETE must carry >=8 of 10 files, carried $carried")
+    // a DELETE over an unregistered name still follows Spark's own path
+    intercept[Exception] {
+      spark.sql("DELETE FROM some_unknown_table WHERE x = 1").collect()
+    }
+  }
+
+  test("SQL MERGE INTO statement upserts with non-empty-wins semantics") {
+    import spark.implicits._
+    val t = freshTable("plans-sqlmerge", 30, 3)
+    GraftPlans.registerTable(spark, t, "sqlmerge_t")
+    val origRole = t.scan().df
+      .where(col("conv_id") === "c00000001" && col("turn_idx") === 0)
+      .select("role").head().getString(0)
+    Seq(
+      ("c00000001", "0", "", "UPDATED-BY-SQL-MERGE", "", 0L),
+      ("c99999990", "0", "user", "brand new conv", "", 1L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+      .createOrReplaceTempView("sqlmerge_src")
+
+    val res = spark.sql(
+      """MERGE INTO sqlmerge_t t USING sqlmerge_src s
+        |ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(res.head().getLong(0) == 2) // staged_rows
+
+    val after = t.scan().df
+    val updated = after.where(col("conv_id") === "c00000001" && col("turn_idx") === 0)
+      .select("text", "role").head()
+    assert(updated.getString(0) == "UPDATED-BY-SQL-MERGE")
+    assert(updated.getString(1) == origRole, "empty staged role must NOT clobber")
+    assert(after.where(col("conv_id") === "c99999990").count() == 1)
+
+    // any non-canonical action shape is refused loudly, never misapplied
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """MERGE INTO sqlmerge_t t USING sqlmerge_src s
+          |ON t.conv_id = s.conv_id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("keyed upsert"))
+  }
+
   test("ivfTopK works on array<double> embeddings (no float-encoder assumption)") {
     import spark.implicits._
     val vecs = (1L to 30L).map { i =>

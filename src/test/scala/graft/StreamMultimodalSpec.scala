@@ -74,6 +74,46 @@ class MultimodalSpec extends AnyFunSuite {
     val again = media.select(Multimodal.decodeStub(col("content"), 8)).collect()
     assert(feats.map(_.getSeq[Double](0)).toSeq == again.map(_.getSeq[Double](0)).toSeq)
   }
+
+  test("decode seam CONTRACT: binary -> fixed-width bounded vector, null-safe, deterministic") {
+    // Pins the seam a real decoder must honor to drop in WITHOUT touching
+    // callers (the ANN/index pipelines consume exactly this shape):
+    //   1. output type is array<double> of EXACTLY the requested dim;
+    //   2. every element is finite and bounded in [-1, 1];
+    //   3. identical payloads give identical vectors (deterministic) and
+    //      distinct payloads are allowed to differ;
+    //   4. null and empty payloads are SAFE: a well-formed vector, no crash.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: the property corpus is stable
+    val payloads: Seq[Array[Byte]] = (0 until 30).map { i =>
+      val b = new Array[Byte](i * 7 % 50); rnd.nextBytes(b); b
+    } :+ Array.empty[Byte]
+    val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "content")
+      .union(Seq((9999L, null.asInstanceOf[Array[Byte]])).toDF("id", "content"))
+    for (dim <- Seq(4, 8, 16)) {
+      val out = df.select(col("id"), Multimodal.decodeStub(col("content"), dim).as("v"))
+      assert(out.schema("v").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        out.schema("v").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType == org.apache.spark.sql.types.DoubleType)
+      val rows = out.orderBy("id").collect()
+      rows.foreach { r =>
+        val v = r.getSeq[Double](1)
+        assert(v != null && v.length == dim, s"dim contract broken for id ${r.getLong(0)}")
+        assert(v.forall(x => !x.isNaN && !x.isInfinite && x >= -1.0 && x <= 1.0),
+          s"bound contract broken: $v")
+      }
+      // determinism across independent evaluations
+      val rows2 = df.select(col("id"), Multimodal.decodeStub(col("content"), dim).as("v"))
+        .orderBy("id").collect()
+      assert(rows.map(_.getSeq[Double](1)).toSeq == rows2.map(_.getSeq[Double](1)).toSeq)
+    }
+    // identical payloads map to identical vectors
+    val twin = Seq((1L, "same bytes"), (2L, "same bytes")).toDF("id", "s")
+      .select(col("id"), Multimodal.decodeStub(encode(col("s"), "UTF-8"), 8).as("v"))
+      .collect().map(_.getSeq[Double](1))
+    assert(twin(0) == twin(1))
+  }
 }
 
 class CsvSinkSpec extends AnyFunSuite {

@@ -2,15 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One SparkSession for the whole forked test JVM. */
+/** One SparkSession for the whole forked test JVM. Built with the engine's
+  * session extensions so the SQL DML parser surface (available only at
+  * session build time) is testable.
+  */
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      .withExtensions(new graft.plans.GraftSparkExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
