@@ -60,16 +60,20 @@ object LakeFixtures {
       .where(col("text") =!= "")
   }
 
-  final case class DedupFixture(table: LakeTable, postDedupeSnapshot: Long)
+  final case class DedupFixture(table: LakeTable, postDedupeSnapshot: Long,
+                                preRetentionSnapshot: Long)
 
   private val dedupCache = scala.collection.concurrent.TrieMap.empty[String, DedupFixture]
 
   /** A SECOND lake table per sfDir for the row-level DML queries: load the
     * pre-merge transcripts, [[Dedupe.runPass]] removes every non-keeper
     * duplicate-text turn (q34 pins THIS snapshot), then [[DeleteFrom]]
-    * removes a conversation range (q37 reads the current snapshot).
-    * Separate from [[forDir]]'s table — these commits must not disturb the
-    * q19-q21/q29 oracles pinned to that fixture's maintenance narrative.
+    * removes a conversation range (q37 pins the resulting snapshot), then
+    * an EVENT-TIME retention delete removes every turn of the first day
+    * (q38 reads the current snapshot) — the predicate's ts bound prunes on
+    * the per-file event-time stats exactly as a scheduled retention tick
+    * does. Separate from [[forDir]]'s table — these commits must not
+    * disturb the q19-q21/q29 oracles pinned to that fixture's narrative.
     */
   def dedupForDir(spark: SparkSession, sfDir: String): DedupFixture =
     dedupCache.getOrElseUpdate(sfDir, {
@@ -86,7 +90,14 @@ object LakeFixtures {
       graft.maintain.DeleteFrom.run(t, s"delete-$tag",
         "conv_id BETWEEN 'u000100' AND 'u000119'",
         convRange = Some(("u000100", "u000119")), targetFileRows = 4000)
-      DedupFixture(t, post)
+      val preRet = t.currentSnapshotId.get
+      // retention cutoff = min event time + 1 day, taken from the MANIFEST
+      // stats (no data scan) — the oracle states the same bound in SQL
+      val minTsUs = t.currentFiles.flatMap(_.minTsUs).min
+      graft.maintain.DeleteFrom.run(t, s"retention-$tag",
+        s"ts < timestamp_micros(${minTsUs + 86400000000L}L)",
+        targetFileRows = 4000)
+      DedupFixture(t, post, preRet)
     })
 
   private val dedupConvCache = scala.collection.concurrent.TrieMap.empty[String, LakeTable]

@@ -391,9 +391,20 @@ object SparkEntry {
     }),
 
     // Row-level DELETE FROM (conv range predicate + metadata pruning):
-    // current snapshot = dedupe survivors minus the deleted conversation
+    // pinned snapshot = dedupe survivors minus the deleted conversation
     // range — the oracle applies the same NOT BETWEEN on its keeper set.
     "q37_delete_from" -> ((s, d) => {
+      val f = LakeFixtures.dedupForDir(s, d)
+      f.table.scan(snapshotId = Some(f.preRetentionSnapshot)).df
+        .select(col("conv_id"), col("turn_idx"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Event-time retention DELETE (ts predicate pruned on per-file
+    // TIMESTAMP_MICROS stats): current snapshot = q37's survivors minus
+    // every turn of the first event-time day — the oracle states the same
+    // min(ts)+1d bound over its survivor set.
+    "q38_retention_delete" -> ((s, d) => {
       val f = LakeFixtures.dedupForDir(s, d)
       f.table.scan().df.select(col("conv_id"), col("turn_idx"))
         .orderBy("conv_id", "turn_idx")
@@ -740,6 +751,30 @@ object SparkEntry {
         |SELECT conv_id, turn_idx FROM k
         |WHERE (tn = '' OR rn = 1)
         |  AND conv_id NOT BETWEEN 'u000100' AND 'u000119'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // retention survivors = q37's set minus the first event-time day
+    "q38_retention_delete" ->
+      """WITH tr AS (
+        |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN '''=ALERT ' || props ELSE props END AS text,
+        |         ts
+        |  FROM events),
+        |n AS (
+        |  SELECT conv_id, turn_idx, ts,
+        |         regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS tn
+        |  FROM tr),
+        |k AS (
+        |  SELECT conv_id, turn_idx, ts, tn,
+        |         row_number() OVER (PARTITION BY tn ORDER BY conv_id, turn_idx) AS rn
+        |  FROM n),
+        |surv AS (
+        |  SELECT conv_id, turn_idx, ts FROM k
+        |  WHERE (tn = '' OR rn = 1)
+        |    AND conv_id NOT BETWEEN 'u000100' AND 'u000119')
+        |SELECT conv_id, turn_idx FROM surv
+        |WHERE ts >= (SELECT min(ts) + INTERVAL 1 DAY FROM surv)
         |ORDER BY conv_id, turn_idx""".stripMargin,
 
     // survivors of the dedupe pass = the min-(conv_id,turn_idx) row of

@@ -217,6 +217,36 @@ class LakeSpec extends AnyFunSuite {
     assert(res2.duplicateRows == 3)
   }
 
+  test("dedupe conv-unit: an oversized conversation is skipped, never OOM'd or deleted") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    val t = LakeTable.create(spark, tmpTable("dedupe-conv-cap"), TranscriptSynth.schema)
+    val big = "x" * 200 // over the tiny cap below
+    val rows = Seq[(String, Int, String, String, String, java.sql.Timestamp)](
+      ("a", 0, "user", "short dup text", null, ts(0)),
+      ("b", 0, "user", "short dup text", null, ts(1)), // dup of a: removable
+      ("huge1", 0, "user", big, null, ts(2)),
+      ("huge2", 0, "user", big, null, ts(3))) // identical to huge1 but OVER CAP
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    t.append(rows, "init")
+    // crash after the plan (with its cap) is pinned: a resume with a
+    // DIFFERENT cap is a changed parameter and must fail loudly
+    intercept[Exception] {
+      Dedupe.runPass(t, "ddcap", unit = "conversation", maxConvChars = 100,
+        interruptAfter = 0)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Dedupe.runPass(t, "ddcap", unit = "conversation", maxConvChars = 999)
+    }
+    assert(e.getMessage.contains("changed parameters"))
+
+    val res = Dedupe.runPass(t, "ddcap", unit = "conversation", maxConvChars = 100)
+    assert(res.duplicateRows == 1, "only the under-cap duplicate conv is removed")
+    val after = t.scan().df.select("conv_id").as[String].collect().toSet
+    assert(after == Set("a", "huge1", "huge2"),
+      s"oversized conversations must survive verbatim (skipped, not victims): $after")
+  }
+
   test("dedupe minhash: moderately similar texts are NOT deleted (verify gate)") {
     import spark.implicits._
     def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
