@@ -222,8 +222,14 @@ class LakeTable(val root: String, val spark: SparkSession) {
     * snapshot — collisions fail loudly instead. Nothing is committed yet.
     */
   def writeDataFiles(df: DataFrame, tag: String): Vector[DataFile] = {
+    // Tags flow from caller-supplied job/cycle ids into data-file NAMES,
+    // and several pipelines match files back by `input_file_name()` (which
+    // URL-encodes anything unusual) — a space or '%' in a cycle id would
+    // silently unmatch every victim/sketch row of the files it wrote.
+    // Restrict to a charset no URI encoder touches.
+    val safeTag = tag.replaceAll("[^A-Za-z0-9._-]", "_")
     val unique = java.util.UUID.randomUUID().toString.take(8)
-    val staging = Paths.get(root, s"_staging-$tag-$unique")
+    val staging = Paths.get(root, s"_staging-$safeTag-$unique")
     // TIMESTAMP_MICROS (not Spark's INT96 default): INT96 persists NO
     // footer statistics, and the event-time min/max per file is what lets
     // a row-retention DELETE prune to the files that can contain expired
@@ -240,7 +246,7 @@ class LakeTable(val root: String, val spark: SparkSession) {
     // Footer reads are independent metadata fetches — do them concurrently.
     val entries = graft.maintain.Parallel.mapInParallel(parts.zipWithIndex, 16) {
       case (p, i) =>
-        val rel = s"data/$tag-$unique-$i.parquet"
+        val rel = s"data/$safeTag-$unique-$i.parquet"
         val target = Paths.get(root, rel)
         if (Files.exists(target))
           throw new FileAlreadyExistsException(target.toString,
@@ -257,7 +263,7 @@ class LakeTable(val root: String, val spark: SparkSession) {
     // output instead of a later full re-read — and pure rewrites
     // (compaction/clustering/delete survivors) keep the table sketch-
     // covered with zero ensure()-time compute.
-    graft.maintain.Sketches.sketchOnWrite(this, entries, s"$tag-$unique")
+    graft.maintain.Sketches.sketchOnWrite(this, entries, s"$safeTag-$unique")
   }
 
   /** Plain append: write `df` (must match the table schema) as new files

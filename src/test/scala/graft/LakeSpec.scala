@@ -1064,6 +1064,26 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile job tags are sanitized: file-name matching survives weird ids") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    val t = LakeTable.create(spark, tmpTable("hostile-tag"), TranscriptSynth.schema)
+    val rows = Seq[(String, Int, String, String, String, java.sql.Timestamp)](
+      ("a", 0, "user", "dup payload", null, ts(0)),
+      ("b", 0, "user", "dup payload", null, ts(1)),
+      ("c", 0, "user", "unique", null, ts(2)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // a tag with spaces / % / slash lands in data-file NAMES — which
+    // input_file_name() would URL-encode, silently unmatching every victim
+    // row keyed by file path; the write boundary must sanitize it
+    t.append(rows, "we ird%ta/g")
+    assert(t.currentFiles.forall(_.path.matches("data/[A-Za-z0-9._-]+\\.parquet")),
+      s"unsafe tag chars must not reach file names: ${t.currentFiles.map(_.path)}")
+    val res = Dedupe.runPass(t, "dd-hostile")
+    assert(res.duplicateRows == 1, "victim-by-file matching must survive the tag")
+    assert(t.scan().df.select("conv_id").as[String].collect().toSet == Set("a", "c"))
+  }
+
   test("writeDataFiles: replayed identical tag never overwrites existing files") {
     val t = LakeTable.create(spark, tmpTable("replay"), TranscriptSynth.schema)
     val a = t.writeDataFiles(synth(10), "stream-0")
