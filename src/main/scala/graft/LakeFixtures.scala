@@ -126,6 +126,35 @@ object LakeFixtures {
       t
     })
 
+  /** Deterministic FIXTURE master key (a real deployment injects its own
+    * secret) — the oracle query proves an ENCRYPTED table answers
+    * byte-identically to plain SQL over the source events.
+    */
+  val FixtureKeyB64: String = java.util.Base64.getEncoder.encodeToString(
+    Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte))
+
+  private val encCache = scala.collection.concurrent.TrieMap.empty[String, LakeTable]
+
+  /** A FOURTH lake table per sfDir, Parquet-Modular-ENCRYPTED (uniform
+    * AES-GCM): pre-merge transcripts, conv-range loaded so pruning has
+    * slabs to skip — the footer stats live inside encrypted footers and
+    * still drive the two-level metadata prune.
+    */
+  def encryptedForDir(spark: SparkSession, sfDir: String): LakeTable =
+    encCache.getOrElseUpdate(sfDir, {
+      import org.apache.spark.sql.functions.col
+      spark.conf.set(graft.lake.Crypto.SessionKeyConf, FixtureKeyB64)
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = Paths.get("target", "lakeenc", tag).toString
+      LakeTable.deleteRecursively(Paths.get(root))
+      val t = LakeTable.create(spark, root,
+        org.apache.spark.sql.types.StructType(graft.synth.TranscriptSynth.schema),
+        encrypted = true)
+      t.append(transcripts(spark, sfDir)
+        .repartitionByRange(8, col("conv_id"), col("turn_idx")), s"eload-$tag")
+      t
+    })
+
   def forDir(spark: SparkSession, sfDir: String): Fixture = cache.getOrElseUpdate(sfDir, {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = Paths.get("target", "lakeq", tag).toString

@@ -435,6 +435,18 @@ object SparkEntry {
           |ORDER BY conv_id, turn_idx""".stripMargin)
     }),
 
+    // Encryption at rest (Parquet Modular Encryption, uniform AES-GCM):
+    // a pruned range scan over the ENCRYPTED lake table must answer
+    // byte-identically to plain SQL over the source events — ciphertext on
+    // disk, encrypted footers still driving the metadata prune.
+    "q39_encrypted_scan" -> ((s, d) => {
+      val t = LakeFixtures.encryptedForDir(s, d)
+      t.scan(convRange = Some(("u000005", "u000012"))).df
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // --- adaptive CSV ingest (dialect detect + vertical transpose) ------
     "q22_vertical_ingest" -> ((s, d) => {
       val content = IngestFixtures.verticalKvCsv(s, d)
@@ -816,6 +828,19 @@ object SparkEntry {
         |SELECT conv_id, turn_idx,
         |  CASE WHEN event_type = 'error' THEN 'corrected ' || props ELSE props END AS text
         |FROM tr WHERE conv_id BETWEEN 'u000010' AND 'u000019'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // encrypted-table scan == plain SQL over the source (pre-merge text)
+    "q39_encrypted_scan" ->
+      """WITH tr AS (
+        |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+        |         event_type, props, ts
+        |  FROM events)
+        |SELECT conv_id, turn_idx,
+        |  CASE WHEN event_type = 'error' THEN '''=ALERT ' || props ELSE props END AS text,
+        |  epoch_us(ts) AS ts_us
+        |FROM tr WHERE conv_id BETWEEN 'u000005' AND 'u000012'
         |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "q22_vertical_ingest" -> IngestFixtures.verticalOracleSql,

@@ -127,6 +127,39 @@ class LakeTable(val root: String, val spark: SparkSession) {
 
   def absData(rel: String): String = Paths.get(root, rel).toString
 
+  // ---- encryption at rest ------------------------------------------------
+
+  /** The table was created with Parquet Modular Encryption: every data file
+    * and sketch batch is AES-GCM encrypted (uniform mode — footer + all
+    * columns), see [[Crypto]]. The flag lives in the snapshot summary and
+    * propagates through every commit; the KEY does not — it arrives at
+    * runtime via the session conf.
+    */
+  def encrypted: Boolean = currentSnapshot.exists(_.summary.contains("encrypted"))
+
+  private def masterKeyB64: String = {
+    val k = spark.conf.get(Crypto.SessionKeyConf, "")
+    require(k.nonEmpty,
+      s"table at $root is encrypted; set ${Crypto.SessionKeyConf} " +
+        "(base64 256-bit master key) on the session to access it")
+    k
+  }
+
+  private[graft] def dataReadOptions: Map[String, String] =
+    if (encrypted) Crypto.readOptions(masterKeyB64) else Map.empty
+
+  private[graft] def dataWriteOptions: Map[String, String] =
+    if (encrypted) Crypto.writeOptions(masterKeyB64) else Map.empty
+
+  /** THE read path for table data files (and the seam where decryption
+    * attaches): every operator reads parquet through here, so an encrypted
+    * table keeps vectorized scans, pushdown and codegen with zero operator
+    * changes.
+    */
+  def readData(absPaths: Seq[String],
+               readSchema: StructType = schema.toStruct): DataFrame =
+    spark.read.options(dataReadOptions).schema(readSchema).parquet(absPaths: _*)
+
   // ---- scan with manifest + file pruning ---------------------------------
 
   final case class PruneStats(totalFiles: Long, selectedFiles: Long,
@@ -155,7 +188,7 @@ class LakeTable(val root: String, val spark: SparkSession) {
     val base =
       if (selected.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), st)
-      else spark.read.schema(st).parquet(selected.map(f => absData(f.path)): _*)
+      else readData(selected.map(f => absData(f.path)), st)
     val filtered = Seq(
       convRange.map { case (lo, hi) => col("conv_id").between(lo, hi) },
       turnRange.map { case (lo, hi) => col("turn_idx").between(lo, hi) }
@@ -237,10 +270,14 @@ class LakeTable(val root: String, val spark: SparkSession) {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // zstd: ~2x smaller files than snappy for this text-heavy schema —
     // scans read fewer bytes and maintenance I/O shifts toward CPU, which
-    // scales with executors while disks don't.
-    df.write.mode("overwrite").option("compression", "zstd").parquet(staging.toString)
+    // scales with executors while disks don't. For an encrypted table the
+    // PME write options ride along (per-job datasource options — never a
+    // global conf, so unrelated writes in the session stay plaintext).
+    df.write.mode("overwrite").options(dataWriteOptions)
+      .option("compression", "zstd").parquet(staging.toString)
     Files.createDirectories(dataDir)
     val conf = spark.sessionState.newHadoopConf()
+    if (encrypted) Crypto.configureRead(conf, masterKeyB64)
     val parts = LakeTable.listDir(staging)
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     // Footer reads are independent metadata fetches — do them concurrently.
@@ -353,6 +390,9 @@ class LakeTable(val root: String, val spark: SparkSession) {
     val lastCluster: Option[String] =
       if (operation == "cluster") Some(id.toString)
       else parent.flatMap(_.summary.get("last_cluster_id"))
+    // table-level properties propagate the same way (encryption mode)
+    val encProp: Option[String] = parent.flatMap(_.summary.get("encrypted"))
+      .orElse(summary.get("encrypted"))
 
     val refs = carried ++ newRefs
     val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), seq,
@@ -361,7 +401,8 @@ class LakeTable(val root: String, val spark: SparkSession) {
         "total_rows" -> refs.map(_.rows).sum.toString,
         "carried_manifests" -> carried.size.toString,
         "new_manifests" -> newRefs.size.toString)
-        ++ lastCluster.map("last_cluster_id" -> _))
+        ++ lastCluster.map("last_cluster_id" -> _)
+        ++ encProp.map("encrypted" -> _))
 
     // CREATE_NEW: concurrent committers race to the same id; exactly one
     // wins, the other surfaces a conflict instead of silently clobbering.
@@ -471,11 +512,17 @@ object LakeTable {
 
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
-  def create(spark: SparkSession, root: String, schema: StructType): LakeTable = {
+  def create(spark: SparkSession, root: String, schema: StructType,
+             encrypted: Boolean = false): LakeTable = {
     val t = new LakeTable(root, spark)
     Files.createDirectories(Paths.get(root, "metadata"))
     Files.createDirectories(Paths.get(root, "data"))
-    t.commit(Vector.empty, "create", Some(TableSchema.fromStruct(schema)))
+    if (encrypted) { // fail at CREATE, not first write, if no key is set
+      require(spark.conf.get(Crypto.SessionKeyConf, "").nonEmpty,
+        s"encrypted table needs ${Crypto.SessionKeyConf} set on the session")
+    }
+    t.commit(Vector.empty, "create", Some(TableSchema.fromStruct(schema)),
+      summary = if (encrypted) Map("encrypted" -> "uniform-aes-gcm") else Map.empty)
     t
   }
 

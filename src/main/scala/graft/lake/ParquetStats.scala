@@ -28,8 +28,13 @@ object ParquetStats {
   def read(absPath: String, conf: Configuration,
            convCol: String = "conv_id", turnCol: String = "turn_idx",
            tsCol: String = "ts"): FileStats = {
-    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(absPath), conf)
-    val reader = ParquetFileReader.open(in)
+    val path = new org.apache.hadoop.fs.Path(absPath)
+    val in = HadoopInputFile.fromPath(path, conf)
+    // HadoopReadOptions wires FileDecryptionProperties from the conf when a
+    // crypto factory is configured (encrypted tables), and is a no-op
+    // otherwise — plaintext and encrypted footers read through one path.
+    val reader = ParquetFileReader.open(in,
+      org.apache.parquet.HadoopReadOptions.builder(conf, path).build())
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toVector
       val rows = blocks.map(_.getRowCount).sum

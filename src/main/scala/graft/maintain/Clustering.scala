@@ -127,8 +127,7 @@ object Clustering {
               else ZOrder.quantileClusterKey(col("conv_id"), col("turn_idx"),
                 plan.convCuts, plan.turnCuts)
             val salt = pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salts))
-            val df = spark.read.schema(table.schema.toStruct)
-              .parquet(paths.map(table.absData): _*)
+            val df = table.readData(paths.map(table.absData))
               .withColumn("__zkey", zkey)
               .withColumn("__salt", salt)
               .repartitionByRange(nOut, col("__zkey"), col("__salt"))
@@ -240,8 +239,7 @@ object Clustering {
     // exact 4k-point sketches cost tens of seconds of driver-side merge.
     val totalRows = math.max(1L, files.map(_.rows).sum)
     val fraction = math.min(1.0, 2e6 / totalRows)
-    val base = table.spark.read.schema(table.schema.toStruct)
-      .parquet(files.map(f => table.absData(f.path)): _*)
+    val base = table.readData(files.map(f => table.absData(f.path)))
     val sampled = if (fraction < 1.0) base.sample(fraction, seed = 42L) else base
     val df = sampled.select(
       ZOrder.convOrderKey(col("conv_id")).cast("long").as("__ck"),

@@ -71,8 +71,7 @@ object Compaction {
             val t0 = System.nanoTime()
             val inFiles = paths.map(byPath(_))
             try {
-              val df = spark.read.schema(table.schema.toStruct)
-                .parquet(paths.map(table.absData): _*)
+              val df = table.readData(paths.map(table.absData))
                 .coalesce(1) // merge partitions without shuffling
                 .sortWithinPartitions(col("conv_id"), col("turn_idx"))
               val out = table.writeDataFiles(df, s"$jobId-b$bi")

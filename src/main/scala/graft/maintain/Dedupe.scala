@@ -177,8 +177,7 @@ object Dedupe {
             val out =
               if (survivors == 0L) Vector.empty[graft.lake.DataFile]
               else table.writeDataFiles(
-                spark.read.schema(table.schema.toStruct)
-                  .parquet(paths.map(table.absData): _*)
+                table.readData(paths.map(table.absData))
                   .join(groupVictims, Seq("conv_id", "turn_idx"), "left_anti")
                   .repartitionByRange(nOut, col("conv_id"), col("turn_idx"))
                   .sortWithinPartitions("conv_id", "turn_idx"),
@@ -252,7 +251,7 @@ object Dedupe {
     mode match {
       case "exact" =>
         val paths = table.currentFiles.map(f => table.absData(f.path))
-        val rows = spark.read.schema(table.schema.toStruct).parquet(paths: _*)
+        val rows = table.readData(paths)
           .select(col("conv_id"), col("turn_idx"), col("text"),
             // provenance as a TABLE-RELATIVE path, matching manifest entries
             concat(lit("data/"),
@@ -351,7 +350,7 @@ object Dedupe {
                                            maxConvChars: Long = 8L << 20): DataFrame = {
     val spark = table.spark
     val paths = table.currentFiles.map(f => table.absData(f.path))
-    val rows = spark.read.schema(table.schema.toStruct).parquet(paths: _*)
+    val rows = table.readData(paths)
       .select(col("conv_id"), col("turn_idx"),
         concat(lit("data/"),
           element_at(split(input_file_name(), "/"), -1)).as("__src"),

@@ -113,8 +113,7 @@ object DeleteFrom {
         // metadata-sized (one row per file WITH victims).
         val perFile: Map[String, Long] =
           if (pruned.entries.isEmpty) Map.empty
-          else spark.read.schema(table.schema.toStruct)
-            .parquet(pruned.entries.map(e => table.absData(e.file.path)): _*)
+          else table.readData(pruned.entries.map(e => table.absData(e.file.path)))
             .where(coalesce(pred.cast("boolean"), lit(false)))
             .groupBy(concat(lit("data/"),
               element_at(split(input_file_name(), "/"), -1)).as("__src"))
@@ -168,8 +167,7 @@ object DeleteFrom {
                 // too (SQL DELETE: only rows where the condition is TRUE
                 // are deleted). Single scan — no separate count.
                 table.writeDataFiles(
-                  spark.read.schema(table.schema.toStruct)
-                    .parquet(paths.map(table.absData): _*)
+                  table.readData(paths.map(table.absData))
                     .where(!coalesce(pred.cast("boolean"), lit(false)))
                     .repartitionByRange(nOut, col("conv_id"), col("turn_idx"))
                     .sortWithinPartitions("conv_id", "turn_idx"),

@@ -123,8 +123,7 @@ object MergeInto {
     val target =
       if (touched.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), st)
-      else spark.read.schema(table.schema.toStruct)
-        .parquet(touched.map(e => table.absData(e.file.path)): _*)
+      else table.readData(touched.map(e => table.absData(e.file.path)))
 
     val t = target.as("t")
     val s = dedup.as("s")

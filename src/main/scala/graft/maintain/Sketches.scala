@@ -142,7 +142,8 @@ object Sketches {
       if (batches.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           sketchSchema)
-      else spark.read.schema(sketchSchema).parquet(batches: _*)
+      else spark.read.options(table.dataReadOptions)
+        .schema(sketchSchema).parquet(batches: _*)
     val current = spark.createDataset(entries.map(_.file.path))(Encoders.STRING)
       .toDF("__src")
     base.join(broadcast(current), Seq("__src"), "left_semi")
@@ -161,7 +162,7 @@ object Sketches {
     val store = storeDir(table)
     Files.createDirectories(store)
     val staging = store.resolve(s"_staging-$tag")
-    val rows = spark.read.schema(table.schema.toStruct).parquet(absPaths: _*)
+    val rows = table.readData(absPaths)
       .select(col("conv_id"), col("turn_idx"),
         Dedup.normalizedText(col("text")).as("__tn"),
         concat(lit("data/"),
@@ -176,8 +177,8 @@ object Sketches {
         when(length(col("__tn")) === 0, 0)
           .otherwise(size(split(col("__tn"), " "))).cast("int").as("n_tokens"),
         col("__src"))
-    rows.write.mode("overwrite").option("compression", "zstd")
-      .parquet(staging.toString)
+    rows.write.mode("overwrite").options(table.dataWriteOptions)
+      .option("compression", "zstd").parquet(staging.toString)
     val rel = s"sketches/batch-$tag"
     Files.move(staging, Paths.get(table.root, rel), StandardCopyOption.ATOMIC_MOVE)
     rel

@@ -235,7 +235,7 @@ class PruneGraftScans(spark: SparkSession) extends Rule[LogicalPlan] {
       if (selected.isEmpty) LocalRelation(g.output)
       else {
         val base = Bridge.planOf(
-          spark.read.schema(st).parquet(selected.map(f => table.absData(f.path)): _*))
+          table.readData(selected.map(f => table.absData(f.path)), st))
         // preserve the leaf's attribute ids for everything referencing them
         Project(base.output.zip(g.output).map { case (n, o) =>
           Alias(n, o.name)(exprId = o.exprId)
