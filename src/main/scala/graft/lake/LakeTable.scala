@@ -135,7 +135,15 @@ class LakeTable(val root: String, val spark: SparkSession) {
     * propagates through every commit; the KEY does not — it arrives at
     * runtime via the session conf.
     */
-  def encrypted: Boolean = currentSnapshot.exists(_.summary.contains("encrypted"))
+  def encrypted: Boolean = encryptedCache.getOrElse {
+    val e = currentSnapshot.exists(_.summary.contains("encrypted"))
+    // the flag is fixed at table CREATE and propagates through every
+    // commit, so once ANY snapshot exists the answer is final — cache it
+    // instead of re-reading snapshot JSON on every readData/write
+    if (currentSnapshotId.isDefined) encryptedCache = Some(e)
+    e
+  }
+  @volatile private var encryptedCache: Option[Boolean] = None
 
   private def masterKeyB64: String = {
     val k = spark.conf.get(Crypto.SessionKeyConf, "")

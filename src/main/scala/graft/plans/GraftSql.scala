@@ -38,16 +38,29 @@ import graft.maintain.{DeleteFrom, MergeInto}
   * the statements over non-lake tables) passes through verbatim.
   */
 object GraftSqlRegistry {
-  private val roots =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  // weak session keys: a registry entry must not keep a closed session's
+  // whole object graph alive in a long-lived JVM hosting many sessions
+  private val roots = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
-  def register(spark: SparkSession, name: String, root: String): Unit =
-    roots.put((spark, name.toLowerCase(java.util.Locale.ROOT)), root)
+  def register(spark: SparkSession, name: String, root: String): Unit = {
+    val m = roots.synchronized {
+      var cur = roots.get(spark)
+      if (cur == null) {
+        cur = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        roots.put(spark, cur)
+      }
+      cur
+    }
+    m.put(name.toLowerCase(java.util.Locale.ROOT), root)
+  }
 
   def lookup(spark: SparkSession, nameParts: Seq[String]): Option[String] =
     nameParts match {
       case Seq(one) =>
-        Option(roots.get((spark, one.toLowerCase(java.util.Locale.ROOT))))
+        Option(roots.get(spark))
+          .flatMap(m => Option(m.get(one.toLowerCase(java.util.Locale.ROOT))))
       case _ => None
     }
 }
