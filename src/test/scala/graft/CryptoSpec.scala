@@ -116,6 +116,29 @@ class CryptoSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DML over an ENCRYPTED registered view composes (parser -> delete -> ciphertext)") {
+    val key = Crypto.newMasterKeyB64()
+    withKey(key) {
+      val t = LakeTable.create(spark, tmpTable("enc-sqldml"), TranscriptSynth.schema,
+        encrypted = true)
+      t.append(synth(30).repartitionByRange(3, col("conv_id"), col("turn_idx")), "init")
+      graft.plans.GraftPlans.registerTable(spark, t, "enc_t")
+      val before = spark.sql("SELECT count(*) FROM enc_t").head().getLong(0)
+      val gone = spark.sql(
+        "SELECT count(*) FROM enc_t WHERE conv_id = 'c00000003'").head().getLong(0)
+      assert(gone > 0)
+      val res = spark.sql("DELETE FROM enc_t WHERE conv_id = 'c00000003'")
+      assert(res.head().getLong(0) == gone)
+      assert(spark.sql("SELECT count(*) FROM enc_t").head().getLong(0) == before - gone)
+      // survivors re-encrypted: every data file still carries the PARE magic
+      t.currentFiles.foreach { f =>
+        val head = new String(Files.readAllBytes(Paths.get(t.absData(f.path))).take(4),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        assert(head == "PARE", s"${f.path} must stay encrypted after SQL DELETE")
+      }
+    }
+  }
+
   test("plaintext tables are untouched by the encryption machinery") {
     val t = LakeTable.create(spark, tmpTable("plain-check"), TranscriptSynth.schema)
     t.append(synth(10), "init")

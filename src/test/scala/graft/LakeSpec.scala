@@ -597,6 +597,33 @@ class LakeSpec extends AnyFunSuite {
     assert(ok.deletedRows > 0)
   }
 
+  test("DELETE FROM predicates over EVOLVED columns: correct, unpruned, loud on typos") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, tmpTable("delete-evolved"), TranscriptSynth.schema)
+    t.append(synth(20), "init")
+    // evolve: a drop adds `lang` on two keys
+    val staged = Seq(
+      ("c00000001", "0", "", "", "", "es", 0L),
+      ("c00000002", "0", "", "", "", "en", 1L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "lang", "_seq")
+    MergeInto.merge(t, staged, "lang-drop")
+    val total = t.scan().df.count()
+
+    // the predicate sees the EVOLVED schema; no key-range box derives from
+    // it (conservative full candidate set), and only the matching row goes
+    val res = DeleteFrom.run(t, "del-evolved", "lang = 'es'")
+    assert(res.deletedRows == 1)
+    assert(t.scan().df.count() == total - 1)
+    assert(t.scan().df.where(col("lang") === "es").count() == 0)
+    assert(t.scan().df.where(col("lang") === "en").count() == 1)
+
+    // a predicate naming a column that does NOT exist fails at plan time,
+    // never a silent no-op
+    intercept[Exception] {
+      DeleteFrom.run(t, "del-typo", "lnag = 'es'")
+    }
+  }
+
   test("merge: a zero-row drop carrying NEW columns commits the widened schema") {
     import spark.implicits._
     val t = LakeTable.create(spark, tmpTable("merge-schema-only"), TranscriptSynth.schema)
