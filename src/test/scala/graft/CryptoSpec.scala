@@ -136,6 +136,10 @@ class CryptoSpec extends AnyFunSuite {
           java.nio.charset.StandardCharsets.ISO_8859_1)
         assert(head == "PARE", s"${f.path} must stay encrypted after SQL DELETE")
       }
+      // key material must never surface in user-visible plan output
+      val plan = org.apache.spark.sql.graftx.Bridge.explainFormatted(t.scan().df)
+      assert(!plan.contains(key), "EXPLAIN must not leak the master key")
+      assert(!plan.contains(key.take(16)), "EXPLAIN must not leak key fragments")
     }
   }
 
