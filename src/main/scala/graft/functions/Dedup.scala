@@ -154,15 +154,37 @@ object Dedup {
     * [[minhashPairsFromSignatures]]: candidate generation without
     * re-hashing a single token.
     */
-  def simhashPairsFromFingerprints(
-      withFp: DataFrame, idCol: String, fpCol: String,
-      bands: Int = 4, maxHamming: Int = 3,
-      maxBucket: Int = 200): DataFrame = {
+  /** Candidate DISTINCT-fingerprint pairs (fp_a < fp_b, Hamming-filtered)
+    * — the graph the lake dedupe pass propagates over WITHOUT ever
+    * expanding members: a component of m exact copies costs m rows here,
+    * never m^2/2 pairs. `fps` must hold distinct fingerprints in `fpCol`.
+    */
+  def simhashFpPairs(fps: DataFrame, fpCol: String,
+                     bands: Int = 4, maxHamming: Int = 3,
+                     maxBucket: Int = 200): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
     val chunkBits = 64 / bands
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    // The fingerprint frame feeds FIVE consumers below — persist makes the
+    val banded = fps.select(col(fpCol).as("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col(fpCol), b * chunkBits).bitwiseAND(mask)
+      }: _*)).as(Seq("band_idx", "chunk")))
+    val capped = dropHeavyKeys(banded, Seq("band_idx", "chunk"), maxBucket)
+    capped.as("a").join(capped.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct() // fp pairs sharing several bands appear once
+      .where(hamming64(col("fp_a"), col("fp_b")) <= maxHamming)
+  }
+
+  def simhashPairsFromFingerprints(
+      withFp: DataFrame, idCol: String, fpCol: String,
+      bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
+    // The fingerprint frame feeds its consumers below — persist makes the
     // reuse explicit instead of relying on ReuseExchange surviving AQE
     // replanning; released by materializeAndRelease before returning.
     // Fingerprints come from the NATIVE kernel (one codegen'd pass in the
@@ -172,22 +194,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // One row per DISTINCT fingerprint; members expand at the end.
-    val groups = fp.select("simhash").distinct()
-    val banded = groups.select(col("simhash"),
-      posexplode(array((0 until bands).map { b =>
-        shiftright(col("simhash"), b * chunkBits).bitwiseAND(mask)
-      }: _*)).as(Seq("band_idx", "chunk")))
-    val capped = dropHeavyKeys(banded, Seq("band_idx", "chunk"), maxBucket)
-
-    // Candidate DISTINCT-fingerprint pairs (ordered to emit each once),
-    // Hamming-filtered BEFORE the member expansion.
-    val fpPairs = capped.as("a").join(capped.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.chunk") === col("b.chunk") &&
-        col("a.simhash") < col("b.simhash"))
-      .select(col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
-      .distinct() // fp pairs sharing several bands appear once
-      .where(hamming64(col("fp_a"), col("fp_b")) <= maxHamming)
+    val fpPairs = simhashFpPairs(fp.select("simhash").distinct(), "simhash",
+      bands, maxHamming, maxBucket)
 
     // Expansion back to doc pairs: cross-group (different fingerprints)...
     val cross = fpPairs
@@ -423,12 +431,40 @@ object Dedup {
     * the dominant cost of a dedup pass, and it only needs to happen once
     * per immutable data file, not once per pass.
     */
+  /** Candidate DISTINCT-signature pairs (sig_a < sig_b in array order, with
+    * shared-band counts) — the member-free graph for the lake dedupe pass,
+    * mirroring [[simhashFpPairs]]. `sigs` must hold distinct signatures.
+    */
+  def minhashSigPairs(sigs: DataFrame, sigCol: String,
+                      numHashes: Int = 32, bands: Int = 8,
+                      maxBucket: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, s"bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val exploded = sigs.select(col(sigCol).as("sig"),
+      posexplode(lshBandHashes(col(sigCol), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+    val capped = dropHeavyKeys(exploded, Seq("band_idx", "band_hash"), maxBucket)
+    // (arrays are orderable/joinable in Spark; '<' orders pairs once)
+    capped.as("a").join(capped.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.sig") < col("b.sig"))
+      .groupBy(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Estimated Jaccard from two signatures: the fraction of agreeing
+    * positions is an unbiased estimator of the shingle-set Jaccard — the
+    * verify gate the lake dedupe pass applies to candidate pairs.
+    */
+  def sigAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
   def minhashPairsFromSignatures(
       withSig: DataFrame, idCol: String, sigCol: String,
       numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 200): DataFrame = {
-    require(numHashes % bands == 0, s"bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // persist: the signature frame feeds five consumers below — see
     // simhashCandidatePairs. Signatures come from the NATIVE kernel (one
     // codegen'd pass per row, no shingle explode, no groupBy stage —
@@ -436,20 +472,8 @@ object Dedup {
     val sig = withSig.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // one banded row per DISTINCT signature
-    val exploded = sig.select(col("sig")).distinct().select(col("sig"),
-      posexplode(lshBandHashes(col("sig"), bands, rowsPerBand))
-        .as(Seq("band_idx", "band_hash")))
-    val capped = dropHeavyKeys(exploded, Seq("band_idx", "band_hash"), maxBucket)
-
-    // distinct-signature candidate pairs with their shared-band count
-    // (arrays are orderable/joinable in Spark; '<' orders pairs once)
-    val sigPairs = capped.as("a").join(capped.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.sig") < col("b.sig"))
-      .groupBy(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    val sigPairs = minhashSigPairs(sig.select("sig").distinct(), "sig",
+      numHashes, bands, maxBucket)
 
     // expand back to doc pairs: cross-group plus within-group (exact dups,
     // which by construction share every band); the member joins are plain

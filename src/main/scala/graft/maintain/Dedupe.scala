@@ -283,48 +283,84 @@ object Dedupe {
         // so exact duplicates differing only in case/whitespace are
         // guaranteed candidates (identical signature/fingerprint, every
         // band shared).
+        //
+        // EVERYTHING expensive runs on the DISTINCT-SKETCH graph, never on
+        // row pairs: banding, the estimated-Jaccard verify (a function of
+        // the two signatures alone) and the label propagation all see ONE
+        // node per distinct signature/fingerprint. Members join in exactly
+        // once at the end — a boilerplate text with 10^5 identical copies
+        // contributes 10^5 member rows, never 10^10/2 within-group pairs,
+        // and its copies still dedupe through the shared sketch node.
         val sk = Sketches.ensure(table)
-        // near-dup groups over a composite string key ("\u0001" separator —
-        // never occurs in conv ids); the label propagation keeps the key
-        // type, no long cast (see dedupGroups). Keeper = lexicographically
-        // smallest key: deterministic (numeric turn order within a conv is
-        // not required, only a stable canonical pick).
+        val sketchCol = if (mode == "minhash") "minhash" else "simhash"
+        // composite row key ("\u0001" separator — never occurs in conv
+        // ids); keeper = lexicographically smallest key: deterministic
+        // (numeric turn order within a conv is not required, only a stable
+        // canonical pick) — same rule as the row-pair formulation this
+        // replaces.
         val keyed = sk.sketches
           .where(col("n_tokens") >= math.max(1, minTokens))
-          .withColumn("__k",
-            concat_ws("\u0001", col("conv_id"), col("turn_idx").cast("string")))
+          .select(col("conv_id"), col("turn_idx"), col("__src"),
+            col(sketchCol).as("__sk"),
+            concat_ws("\u0001", col("conv_id"), col("turn_idx").cast("string"))
+              .as("__k"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // minhash: LSH banding proposes candidates, then the estimated-
-        // Jaccard VERIFY (signature agreement >= minJaccard) gates them —
-        // deletion never rides on raw band collisions; simhash pairs are
-        // already Hamming-verified (<= 3) inside the banded join. Both are
-        // pure candidate joins over stored sketches, zero re-hashing.
-        val rawPairs =
-          if (mode == "minhash")
-            Dedup.minhashPairsFromSignatures(keyed, "__k", "minhash")
-          else Dedup.simhashPairsFromFingerprints(keyed, "__k", "simhash")
+        // Compact node ids: propagation/grouping joins run on LONGs, not on
+        // 32-long signature arrays — for minhash a monotonically increasing
+        // id is assigned once on the PERSISTED distinct-signature frame
+        // (materialized immediately, so the ids are pinned and collision-
+        // free by construction; a 64-bit hash of the signature would merge
+        // unrelated groups at ~n^2/2^64 odds, unacceptable for deletions);
+        // a simhash fingerprint IS already a collision-free long node id.
+        val distinctSk = keyed.select(col("__sk")).distinct()
+        val nodes =
+          (if (mode == "simhash") distinctSk.withColumn("__nid", col("__sk"))
+           else distinctSk.withColumn("__nid", monotonically_increasing_id()))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        nodes.count() // pin the ids before any reuse
+        // minhash: LSH banding proposes candidate signature pairs, then the
+        // estimated-Jaccard VERIFY (signature agreement >= minJaccard)
+        // gates them — deletion never rides on raw band collisions; simhash
+        // pairs are already Hamming-verified (<= 3) inside the banded join.
+        val need = math.ceil(32 * minJaccard).toInt
         val pairs =
-          if (mode == "minhash")
-            verifiedMinhashPairs(rawPairs, keyed, "__k", "minhash",
-              numHashes = 32, minJaccard)
-          else rawPairs
-        val r = Dedup.dedupGroupsResult(keyed.select("__k"), "__k",
-          pairs.select("id_a", "id_b"), maxIters)
+          if (mode == "minhash") {
+            val verified = Dedup.minhashSigPairs(nodes, "__sk")
+              .where(Dedup.sigAgreement(col("sig_a"), col("sig_b")) >= need)
+            // pair set is cap-bounded and post-verify sparse: the two
+            // array-keyed id lookups are joins over a SMALL frame
+            verified
+              .join(nodes.select(col("__sk").as("sig_a"), col("__nid").as("id_a")), Seq("sig_a"))
+              .join(nodes.select(col("__sk").as("sig_b"), col("__nid").as("id_b")), Seq("sig_b"))
+              .select("id_a", "id_b")
+          } else Dedup.simhashFpPairs(nodes, "__sk")
+            .select(col("fp_a").as("id_a"), col("fp_b").as("id_b"))
+        val r = Dedup.dedupGroupsResult(nodes.select(col("__nid")), "__nid",
+          pairs, maxIters)
         if (!r.converged) {
-          keyed.unpersist(); rawPairs.unpersist(); r.groups.unpersist()
+          keyed.unpersist(); nodes.unpersist(); r.groups.unpersist()
           throw new IllegalStateException(
             s"dedupe($mode): label propagation did not converge — refusing " +
               "to delete rows based on partial duplicate groups; raise " +
               "maxIters or investigate the candidate graph")
         }
-        val victims = r.groups.where(col("__k") =!= col("group_id")).select("__k")
-        // materialize BEFORE releasing the label/pair caches — the victim
-        // frame's lineage reaches back through the whole propagation
-        val out = keyed.join(victims, Seq("__k"))
+        // ONE member join: rows -> node id -> component, then the smallest
+        // row key per component survives and every other member is a victim.
+        val withComp = keyed
+          .join(nodes, Seq("__sk"))
+          .join(r.groups, Seq("__nid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keepers = withComp.groupBy(col("group_id"))
+          .agg(min(col("__k")).as("__keep"))
+        val out = withComp.join(keepers, Seq("group_id"))
+          .where(col("__k") =!= col("__keep"))
           .select("conv_id", "turn_idx", "__src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize BEFORE releasing the node/label caches — the victim
+        // frame's lineage reaches back through the whole propagation
         out.count()
-        keyed.unpersist(); rawPairs.unpersist(); r.groups.unpersist()
+        keyed.unpersist(); nodes.unpersist(); withComp.unpersist()
+        r.groups.unpersist()
         out
     }
   }

@@ -267,6 +267,31 @@ class LakeSpec extends AnyFunSuite {
     assert(after == Set("a", "b", "c"), s"similar-but-distinct texts survive: $after")
   }
 
+  test("dedupe minhash: a massive exact-dup group costs member ROWS, not member PAIRS") {
+    // 20k copies of one text: the distinct-sketch graph sees ONE node (the
+    // row-pair formulation would expand ~2x10^8 within-group pairs through
+    // the verify join and propagation — infeasible); the pass must both
+    // complete quickly and keep exactly the smallest-keyed copy
+    val t = LakeTable.create(spark, tmpTable("dedupe-mass"), TranscriptSynth.schema)
+    val dup = spark.range(20000).select(
+      format_string("d%08d", col("id")).as("conv_id"),
+      lit(0).as("turn_idx"), lit("user").as("role"),
+      lit("the same boilerplate text appears everywhere").as("text"),
+      lit(null).cast("string").as("tool"),
+      timestamp_millis(lit(1704067200000L) + col("id")).as("ts"))
+    val unique = TranscriptSynth.turns(spark, 20, seed = 9L)
+      .withColumn("conv_id", concat(lit("u"), col("conv_id")))
+    t.append(dup.unionByName(unique)
+      .repartitionByRange(8, col("conv_id"), col("turn_idx")), "init")
+
+    val res = Dedupe.runPass(t, "dd-mass", mode = "minhash")
+    assert(res.duplicateRows >= 19999, s"all copies but one go: ${res.duplicateRows}")
+    val survivors = t.scan(convRange = Some(("d00000000", "d99999999"))).df
+      .select("conv_id").collect().map(_.getString(0))
+    assert(survivors.toSeq == Seq("d00000000"),
+      s"exactly the smallest-keyed copy survives: ${survivors.take(5).toSeq}")
+  }
+
   test("dedupe: a fully-duplicate slab leaves no empty data file behind") {
     import spark.implicits._
     def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
