@@ -219,26 +219,60 @@ object Dedupe {
     * identical to the reference's first-occurrence-survives rule under the
     * table's stable key ordering.
     */
-  /** Estimated-Jaccard verification of minhash candidate pairs: the
-    * fraction of AGREEING signature positions is an unbiased Jaccard
-    * estimator, so requiring >= ceil(numHashes * minJaccard) agreements
-    * turns raw band collisions (a J~0.5 pair still shares one of 8 bands
-    * ~40% of the time) into a high-confidence near-dup edge. Deletion must
-    * never ride on unverified candidates; exact duplicates agree on every
-    * position and always pass.
+  /** Components over the DISTINCT sketches of `df` (must carry a `__sk`
+    * column: minhash array signature or simhash long fingerprint), with the
+    * verify gates applied on the SKETCH graph:
+    *   - minhash: LSH banding proposes candidate signature pairs, then the
+    *     estimated-Jaccard VERIFY (agreeing positions are an unbiased
+    *     Jaccard estimator; requiring >= ceil(32 * minJaccard) turns raw
+    *     band collisions — a J~0.5 pair still shares one of 8 bands ~40%
+    *     of the time — into high-confidence edges, and exact duplicates
+    *     always pass);
+    *   - simhash: pairs arrive Hamming-verified (<= 3) from the banded join.
+    *
+    * Propagation runs on compact LONG node ids — for minhash a
+    * monotonically increasing id assigned once on the PERSISTED
+    * distinct-signature frame (materialized immediately, so ids are pinned
+    * and collision-free by construction; a 64-bit hash of the signature
+    * would merge unrelated groups at ~n^2/2^64 odds, unacceptable for
+    * deletions); a simhash fingerprint IS already a collision-free long.
+    *
+    * Returns `df` with a `group_id` column joined in, plus a release thunk
+    * the caller invokes AFTER materializing anything derived from it.
+    * Throws (and releases) on non-convergence — partial groups must never
+    * drive deletions.
     */
-  private def verifiedMinhashPairs(pairs: DataFrame, keyed: DataFrame,
-                                   keyCol: String, sigCol: String,
-                                   numHashes: Int, minJaccard: Double): DataFrame = {
-    val need = math.ceil(numHashes * minJaccard).toInt
-    val sa = keyed.select(col(keyCol).as("id_a"), col(sigCol).as("__sa"))
-    val sb = keyed.select(col(keyCol).as("id_b"), col(sigCol).as("__sb"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
-      .where(aggregate(
-        zip_with(col("__sa"), col("__sb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v) >= need)
-      .select("id_a", "id_b")
+  private def sketchComponents(df: DataFrame, mode: String, minJaccard: Double,
+                               maxIters: Int, what: String): (DataFrame, () => Unit) = {
+    val distinctSk = df.select(col("__sk")).distinct()
+    val nodes =
+      (if (mode == "simhash") distinctSk.withColumn("__nid", col("__sk"))
+       else distinctSk.withColumn("__nid", monotonically_increasing_id()))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodes.count() // pin the ids before any reuse
+    val need = math.ceil(32 * minJaccard).toInt
+    val pairs =
+      if (mode == "minhash") {
+        // pair set is cap-bounded and post-verify sparse: the two
+        // array-keyed id lookups are joins over a SMALL frame
+        Dedup.minhashSigPairs(nodes, "__sk")
+          .where(Dedup.sigAgreement(col("sig_a"), col("sig_b")) >= need)
+          .join(nodes.select(col("__sk").as("sig_a"), col("__nid").as("id_a")), Seq("sig_a"))
+          .join(nodes.select(col("__sk").as("sig_b"), col("__nid").as("id_b")), Seq("sig_b"))
+          .select("id_a", "id_b")
+      } else Dedup.simhashFpPairs(nodes, "__sk")
+        .select(col("fp_a").as("id_a"), col("fp_b").as("id_b"))
+    val r = Dedup.dedupGroupsResult(nodes.select(col("__nid")), "__nid",
+      pairs, maxIters)
+    if (!r.converged) {
+      nodes.unpersist(); r.groups.unpersist()
+      throw new IllegalStateException(
+        s"dedupe($what): label propagation did not converge — refusing " +
+          "to delete rows based on partial duplicate groups; raise " +
+          "maxIters or investigate the candidate graph")
+    }
+    (df.join(nodes, Seq("__sk")).join(r.groups, Seq("__nid")).drop("__nid"),
+      () => { nodes.unpersist(); r.groups.unpersist(); () })
   }
 
   private[maintain] def computeVictims(table: LakeTable, mode: String,
@@ -305,50 +339,12 @@ object Dedupe {
             concat_ws("\u0001", col("conv_id"), col("turn_idx").cast("string"))
               .as("__k"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // Compact node ids: propagation/grouping joins run on LONGs, not on
-        // 32-long signature arrays — for minhash a monotonically increasing
-        // id is assigned once on the PERSISTED distinct-signature frame
-        // (materialized immediately, so the ids are pinned and collision-
-        // free by construction; a 64-bit hash of the signature would merge
-        // unrelated groups at ~n^2/2^64 odds, unacceptable for deletions);
-        // a simhash fingerprint IS already a collision-free long node id.
-        val distinctSk = keyed.select(col("__sk")).distinct()
-        val nodes =
-          (if (mode == "simhash") distinctSk.withColumn("__nid", col("__sk"))
-           else distinctSk.withColumn("__nid", monotonically_increasing_id()))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        nodes.count() // pin the ids before any reuse
-        // minhash: LSH banding proposes candidate signature pairs, then the
-        // estimated-Jaccard VERIFY (signature agreement >= minJaccard)
-        // gates them — deletion never rides on raw band collisions; simhash
-        // pairs are already Hamming-verified (<= 3) inside the banded join.
-        val need = math.ceil(32 * minJaccard).toInt
-        val pairs =
-          if (mode == "minhash") {
-            val verified = Dedup.minhashSigPairs(nodes, "__sk")
-              .where(Dedup.sigAgreement(col("sig_a"), col("sig_b")) >= need)
-            // pair set is cap-bounded and post-verify sparse: the two
-            // array-keyed id lookups are joins over a SMALL frame
-            verified
-              .join(nodes.select(col("__sk").as("sig_a"), col("__nid").as("id_a")), Seq("sig_a"))
-              .join(nodes.select(col("__sk").as("sig_b"), col("__nid").as("id_b")), Seq("sig_b"))
-              .select("id_a", "id_b")
-          } else Dedup.simhashFpPairs(nodes, "__sk")
-            .select(col("fp_a").as("id_a"), col("fp_b").as("id_b"))
-        val r = Dedup.dedupGroupsResult(nodes.select(col("__nid")), "__nid",
-          pairs, maxIters)
-        if (!r.converged) {
-          keyed.unpersist(); nodes.unpersist(); r.groups.unpersist()
-          throw new IllegalStateException(
-            s"dedupe($mode): label propagation did not converge — refusing " +
-              "to delete rows based on partial duplicate groups; raise " +
-              "maxIters or investigate the candidate graph")
-        }
-        // ONE member join: rows -> node id -> component, then the smallest
-        // row key per component survives and every other member is a victim.
-        val withComp = keyed
-          .join(nodes, Seq("__sk"))
-          .join(r.groups, Seq("__nid"))
+        val (comp, release) = sketchComponents(keyed, mode, minJaccard,
+          maxIters, what = mode)
+        // ONE member join (inside sketchComponents): rows -> component; the
+        // smallest row key per component survives, every other member is a
+        // victim.
+        val withComp = comp
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keepers = withComp.groupBy(col("group_id"))
           .agg(min(col("__k")).as("__keep"))
@@ -359,8 +355,7 @@ object Dedupe {
         // materialize BEFORE releasing the node/label caches — the victim
         // frame's lineage reaches back through the whole propagation
         out.count()
-        keyed.unpersist(); nodes.unpersist(); withComp.unpersist()
-        r.groups.unpersist()
+        keyed.unpersist(); withComp.unpersist(); release()
         out
     }
   }
@@ -427,34 +422,26 @@ object Dedupe {
           .select("conv_id")
       case _ =>
         // conversation sketches are computed fresh on the conv-level frame
-        // (the per-file store is per-turn); minhash candidates then pass
-        // the same estimated-Jaccard verify as the turn path
-        val convSig =
-          if (mode == "minhash") conv.withColumn("__sig",
-            Dedup.minhashSignatureNative(col("__ctext"), 3, 32))
-          else conv
-        val rawPairs =
-          if (mode == "minhash")
-            Dedup.minhashPairsFromSignatures(convSig, "conv_id", "__sig")
-          else Dedup.simhashCandidatePairs(conv, "conv_id", "__ctext")
-        val pairs =
-          if (mode == "minhash")
-            verifiedMinhashPairs(rawPairs, convSig, "conv_id", "__sig",
-              numHashes = 32, minJaccard)
-          else rawPairs
-        val r = Dedup.dedupGroupsResult(conv.select("conv_id"), "conv_id",
-          pairs.select("id_a", "id_b"), maxIters)
-        if (!r.converged) {
-          rows.unpersist(); rawPairs.unpersist(); r.groups.unpersist()
-          throw new IllegalStateException(
-            s"dedupe($mode, conversation): label propagation did not " +
-              "converge — refusing to delete on partial duplicate groups")
-        }
-        val v = r.groups.where(col("conv_id") =!= col("group_id"))
+        // (the per-file store is per-turn), then the SAME distinct-sketch
+        // component machinery as the turn path runs — a conversation
+        // duplicated 10^5 times costs member rows, never member pairs
+        val convSk = (if (mode == "minhash")
+            conv.withColumn("__sk",
+              Dedup.minhashSignatureNative(col("__ctext"), 3, 32))
+          else conv.withColumn("__sk", Dedup.simhash64Native(col("__ctext"))))
+          .select(col("conv_id"), col("__sk"))
+        val (comp, release) = sketchComponents(convSk, mode, minJaccard,
+          maxIters, what = s"$mode, conversation")
+        val withComp = comp
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keepers = withComp.groupBy(col("group_id"))
+          .agg(min(col("conv_id")).as("__keep"))
+        val v = withComp.join(keepers, Seq("group_id"))
+          .where(col("conv_id") =!= col("__keep"))
           .select("conv_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         v.count()
-        rawPairs.unpersist(); r.groups.unpersist()
+        withComp.unpersist(); release()
         v
     }
 
