@@ -220,8 +220,9 @@ object Dedupe {
     * table's stable key ordering.
     */
   /** Components over the DISTINCT sketches of `df` (must carry a `__sk`
-    * column: minhash array signature or simhash long fingerprint), with the
-    * verify gates applied on the SKETCH graph:
+    * column — minhash array signature or simhash long fingerprint — plus
+    * the row-key column `keyCol`), with the verify gates applied on the
+    * SKETCH graph:
     *   - minhash: LSH banding proposes candidate signature pairs, then the
     *     estimated-Jaccard VERIFY (agreeing positions are an unbiased
     *     Jaccard estimator; requiring >= ceil(32 * minJaccard) turns raw
@@ -230,38 +231,42 @@ object Dedupe {
     *     always pass);
     *   - simhash: pairs arrive Hamming-verified (<= 3) from the banded join.
     *
-    * Propagation runs on compact LONG node ids — for minhash a
-    * monotonically increasing id assigned once on the PERSISTED
-    * distinct-signature frame (materialized immediately, so ids are pinned
-    * and collision-free by construction; a 64-bit hash of the signature
-    * would merge unrelated groups at ~n^2/2^64 odds, unacceptable for
-    * deletions); a simhash fingerprint IS already a collision-free long.
+    * Node id = the MIN row key among the sketch's members: DETERMINISTIC
+    * under any recomputation (a monotonically-increasing id would reassign
+    * if a cache block were lost and rebuilt with a different shuffle-fetch
+    * order — silent group corruption on a real cluster; hashing the
+    * signature to 64 bits would merge unrelated groups at ~n^2/2^64 odds —
+    * unacceptable for deletions), collision-free by construction (each row
+    * has one sketch, so per-sketch min-key sets are disjoint), and it makes
+    * the propagated `group_id` (min node id over the component) EXACTLY the
+    * component's keeper key — no separate keeper aggregation needed.
     *
-    * Returns `df` with a `group_id` column joined in, plus a release thunk
-    * the caller invokes AFTER materializing anything derived from it.
-    * Throws (and releases) on non-convergence — partial groups must never
-    * drive deletions.
+    * Returns `df` with a `group_id` column joined in (the keeper key: a
+    * member is a victim iff its own key differs), plus a release thunk the
+    * caller invokes AFTER materializing anything derived from it. Throws
+    * (and releases) on non-convergence — partial groups must never drive
+    * deletions.
     */
-  private def sketchComponents(df: DataFrame, mode: String, minJaccard: Double,
-                               maxIters: Int, what: String): (DataFrame, () => Unit) = {
-    val distinctSk = df.select(col("__sk")).distinct()
-    val nodes =
-      (if (mode == "simhash") distinctSk.withColumn("__nid", col("__sk"))
-       else distinctSk.withColumn("__nid", monotonically_increasing_id()))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nodes.count() // pin the ids before any reuse
+  private def sketchComponents(df: DataFrame, keyCol: String, mode: String,
+                               minJaccard: Double, maxIters: Int,
+                               what: String): (DataFrame, () => Unit) = {
+    val nodes = df.groupBy(col("__sk")).agg(min(col(keyCol)).as("__nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodes.count() // materialize once for the three consumers below
     val need = math.ceil(32 * minJaccard).toInt
     val pairs =
       if (mode == "minhash") {
         // pair set is cap-bounded and post-verify sparse: the two
         // array-keyed id lookups are joins over a SMALL frame
-        Dedup.minhashSigPairs(nodes, "__sk")
+        Dedup.minhashSigPairs(nodes.select(col("__sk")), "__sk")
           .where(Dedup.sigAgreement(col("sig_a"), col("sig_b")) >= need)
           .join(nodes.select(col("__sk").as("sig_a"), col("__nid").as("id_a")), Seq("sig_a"))
           .join(nodes.select(col("__sk").as("sig_b"), col("__nid").as("id_b")), Seq("sig_b"))
           .select("id_a", "id_b")
-      } else Dedup.simhashFpPairs(nodes, "__sk")
-        .select(col("fp_a").as("id_a"), col("fp_b").as("id_b"))
+      } else Dedup.simhashFpPairs(nodes.select(col("__sk")), "__sk")
+        .join(nodes.select(col("__sk").as("fp_a"), col("__nid").as("id_a")), Seq("fp_a"))
+        .join(nodes.select(col("__sk").as("fp_b"), col("__nid").as("id_b")), Seq("fp_b"))
+        .select("id_a", "id_b")
     val r = Dedup.dedupGroupsResult(nodes.select(col("__nid")), "__nid",
       pairs, maxIters)
     if (!r.converged) {
@@ -339,23 +344,18 @@ object Dedupe {
             concat_ws("\u0001", col("conv_id"), col("turn_idx").cast("string"))
               .as("__k"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val (comp, release) = sketchComponents(keyed, mode, minJaccard,
+        val (comp, release) = sketchComponents(keyed, "__k", mode, minJaccard,
           maxIters, what = mode)
-        // ONE member join (inside sketchComponents): rows -> component; the
-        // smallest row key per component survives, every other member is a
-        // victim.
-        val withComp = comp
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val keepers = withComp.groupBy(col("group_id"))
-          .agg(min(col("__k")).as("__keep"))
-        val out = withComp.join(keepers, Seq("group_id"))
-          .where(col("__k") =!= col("__keep"))
+        // group_id IS the component's keeper key (min member key): a row is
+        // a victim iff its own key differs — one membership join, no
+        // separate keeper aggregation
+        val out = comp.where(col("__k") =!= col("group_id"))
           .select("conv_id", "turn_idx", "__src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // materialize BEFORE releasing the node/label caches — the victim
         // frame's lineage reaches back through the whole propagation
         out.count()
-        keyed.unpersist(); withComp.unpersist(); release()
+        keyed.unpersist(); release()
         out
     }
   }
@@ -430,18 +430,13 @@ object Dedupe {
               Dedup.minhashSignatureNative(col("__ctext"), 3, 32))
           else conv.withColumn("__sk", Dedup.simhash64Native(col("__ctext"))))
           .select(col("conv_id"), col("__sk"))
-        val (comp, release) = sketchComponents(convSk, mode, minJaccard,
-          maxIters, what = s"$mode, conversation")
-        val withComp = comp
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val keepers = withComp.groupBy(col("group_id"))
-          .agg(min(col("conv_id")).as("__keep"))
-        val v = withComp.join(keepers, Seq("group_id"))
-          .where(col("conv_id") =!= col("__keep"))
+        val (comp, release) = sketchComponents(convSk, "conv_id", mode,
+          minJaccard, maxIters, what = s"$mode, conversation")
+        val v = comp.where(col("conv_id") =!= col("group_id"))
           .select("conv_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         v.count()
-        withComp.unpersist(); release()
+        release()
         v
     }
 
