@@ -190,8 +190,16 @@ object Dedup {
     // Fingerprints come from the NATIVE kernel (one codegen'd pass in the
     // projection, no explode/shuffle — bit-identical to simhashDf, which
     // q16's oracle cross-checks against it corpus-wide).
+    // MATERIALIZED EAGERLY (guide §2.4/§5): the downstream join tree has
+    // ~8 exchanges reading this frame, and AQE submits their
+    // materialization stages CONCURRENTLY — against a lazily-persisted
+    // frame each of them recomputes the full fingerprint pass (measured:
+    // 8 parallel stages x the whole kernel scan at sf0.1) because no
+    // stage waits for another to fill the cache. One count() up front
+    // makes every consumer a cache read.
     val fp = withFp.select(col(idCol).as("id"), col(fpCol).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.count()
 
     // One row per DISTINCT fingerprint; members expand at the end.
     val fpPairs = simhashFpPairs(fp.select("simhash").distinct(), "simhash",
@@ -320,8 +328,17 @@ object Dedup {
   def dedupGroupsResult(ids: DataFrame, idCol: String, pairs: DataFrame,
                         maxIters: Int = 50): GroupsResult = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Both edge directions from ONE evaluation of `pairs` (explode of a
+    // 2-struct array), not union(pairs, pairs.swap): the union shape
+    // evaluates the whole upstream candidate pipeline TWICE inside the
+    // first materializing job — for banding/ANN candidate generators that
+    // is a second full corpus pass (guide §1.2: don't compute things
+    // twice). Row set identical to the union formulation.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Bridge.detach, NOT persist/localCheckpoint: each round's plan
@@ -336,10 +353,22 @@ object Dedup {
     // big-number arithmetic per size estimate. detach() cuts both: fresh
     // leaf, constant stats, explicit block release one round later.
     import org.apache.spark.sql.graftx.Bridge
-    var (labels, releaseLabels) =
-      Bridge.detach(ids.select(col(idCol).as("id"), col(idCol).as("grp")))
+    // ROUND 1 SPECIALIZED (guide §2.4 — remove shuffles outright): with
+    // identity labels, the neighbor-label join degenerates to
+    // min(src) per dst over the edges alone, and the pointer-jump join is
+    // the identity (grp(g1) = g1), so round 1 is ONE aggregation + ONE
+    // left join instead of three joins — same labels, same changed-count.
+    val nbr0 = edges.groupBy(col("dst").as("id")).agg(min("src").as("nbr_grp"))
+    val grp1 = least(col("id"), coalesce(col("nbr_grp"), col("id")))
+    var (labels, releaseLabels) = Bridge.detach(
+      ids.select(col(idCol).as("id"))
+        .join(nbr0, Seq("id"), "left_outer")
+        .select(col("id"), grp1.as("grp"), (grp1 =!= col("id")).as("__chg")))
     var converged = false
-    var i = 0
+    var i = 1
+    val changed0 = labels.agg(count(when(col("__chg"), lit(1)))).head().getLong(0)
+    labels = labels.drop("__chg")
+    converged = changed0 == 0
     while (i < maxIters && !converged) {
       // neighbor labels: for each edge dst, the src's current label
       val nbr = edges.join(labels.select(col("id").as("src"), col("grp")), "src")
@@ -469,8 +498,12 @@ object Dedup {
     // simhashCandidatePairs. Signatures come from the NATIVE kernel (one
     // codegen'd pass per row, no shingle explode, no groupBy stage —
     // bit-identical to the explode->min shape, pinned by DedupSpec).
+    // Materialized EAGERLY before the join tree: AQE runs the consumer
+    // exchanges' stages concurrently, and against a lazy persist each one
+    // recomputes the whole signature pass (see simhashPairsFromFingerprints).
     val sig = withSig.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
 
     val sigPairs = minhashSigPairs(sig.select("sig").distinct(), "sig",
       numHashes, bands, maxBucket)
