@@ -34,10 +34,50 @@ object SketchKernels {
   private val WsPattern = UTF8String.fromString("\\s+")
   private val Space = UTF8String.fromString(" ")
 
-  /** Whitespace tokens, bit-parity with `TextMetrics.tokens`. */
+  /** The 6 bytes Java's regex `\s` matches (ASCII-only by default:
+    * space, \t, \n, \x0B, \f, \r).
+    */
+  private val WsByte: Array[Boolean] = {
+    val a = new Array[Boolean](256)
+    Seq(' ', '\t', '\n', 0x0B.toChar, '\f', '\r').foreach(c => a(c.toInt) = true)
+    a
+  }
+
+  /** Whitespace tokens, bit-parity with `TextMetrics.tokens`.
+    *
+    * Fast path: for VALID UTF-8 input, splitting the raw bytes on runs of
+    * the 6 ASCII `\s` bytes is byte-for-byte the regex `split("\s+", -1)`
+    * (ASCII bytes never occur inside a multi-byte sequence, and `\s` is
+    * ASCII-only without UNICODE_CHARACTER_CLASS), including the leading
+    * empty token when the post-`trim` string starts with non-space
+    * whitespace and the trailing empty token limit -1 keeps. Tokens are
+    * ZERO-COPY slices of the input buffer — no UTF-16 decode, no Pattern
+    * machinery, no per-token re-encode; the regex pass dominated every
+    * corpus sketch build. Invalid UTF-8 falls back to the legacy regex
+    * split, whose String round-trip substitutes replacement chars — the
+    * fast path must not (and does not) second-guess that behavior.
+    */
   private def whitespaceTokens(s: UTF8String): Array[UTF8String] = {
     val t = s.trim()
-    if (t.numBytes == 0) Array.empty[UTF8String] else t.split(WsPattern, -1)
+    if (t.numBytes == 0) return Array.empty[UTF8String]
+    if (!t.isValid) return t.split(WsPattern, -1)
+    val n = t.numBytes
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val out = new java.util.ArrayList[UTF8String](16)
+    var i = 0
+    var tokStart = 0
+    while (i < n) {
+      val b = t.getByte(i) & 0xff
+      if (WsByte(b)) {
+        out.add(UTF8String.fromAddress(base, off + tokStart, i - tokStart))
+        i += 1
+        while (i < n && WsByte(t.getByte(i) & 0xff)) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    out.add(UTF8String.fromAddress(base, off + tokStart, n - tokStart))
+    out.toArray(new Array[UTF8String](out.size))
   }
 
   private def hashToken(tok: UTF8String, seed: Long): Long =
@@ -88,9 +128,13 @@ object SketchKernels {
     }
     if (n <= shingleK) addShingle(toks)
     else {
+      // one reusable window buffer — concatWs copies the bytes out, so the
+      // array can be recycled across shingles (no per-shingle allocation)
+      val win = new Array[UTF8String](shingleK)
       var i = 0
       while (i + shingleK <= n) {
-        addShingle(java.util.Arrays.copyOfRange(toks, i, i + shingleK))
+        System.arraycopy(toks, i, win, 0, shingleK)
+        addShingle(win)
         i += 1
       }
     }

@@ -161,98 +161,88 @@ object VectorOps {
       k: Int, nLists: Int = 64, nProbe: Int = 4,
       refineIters: Int = 1, maxList: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.FloatType
-    // norms computed ONCE per row (and once per centroid) — cosine against
-    // every centroid then costs one dot product per pair instead of
-    // re-deriving both norms inside each of the corpus x nLists pairs
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.graftx.{Bridge, IvfProbesF32}
+    // norms computed ONCE per row — the final pair scoring then costs one
+    // dot product per (query, candidate) instead of re-deriving both norms
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def withCentNorm(c: DataFrame): DataFrame =
-      c.select(col("cell"), col("cv"), norm(col("cv")).as("ncv"))
     def pairCos: Column =
       when(col("nv") === 0.0 || col("ncv") === 0.0, lit(0.0))
         .otherwise(dot(col("v"), col("cv")) / (col("nv") * col("ncv")))
 
     // deterministic seed centroids: the nLists vectors of smallest
-    // xxhash64(id) — RNG-free sampling. The hash-rank numbering happens
-    // DRIVER-SIDE on the collected <= nLists (64) rows: a global
-    // `Window.orderBy` over them would execute identically (one tiny
-    // partition) but spams the log with WindowExec's no-partition warning
-    // — which must stay reserved for REAL single-partition regressions —
-    // and a constant partitionBy is folded away by EliminateWindowPartitions.
-    // The collect is bounded by the nLists CONSTANT, never by data size.
-    // Rebuilt via createDataFrame with the vector column's OWN schema:
-    // array<float> and array<double> callers both keep their element type
-    // (an encoder-typed round-trip through Seq[Float] would break doubles).
-    val spark0 = df.sparkSession
-    val vecField = base.schema("v")
+    // xxhash64(id) — RNG-free sampling. The collect is bounded by the
+    // nLists CONSTANT (<= 64 in every caller), never by data size, and the
+    // collected table becomes the kernel's reference object: scoring a row
+    // against every centroid is ONE codegen'd pass inside the projection
+    // ([[org.apache.spark.sql.graftx.IvfProbesF32]]) — the old
+    // corpus x nLists crossJoin, the groupBy(id) argmax shuffle (which
+    // carried every vector nLists times) and the per-id probe Window all
+    // collapse into per-row expressions with ZERO exchanges (guide §2.4,
+    // §8: decide with small rows — here, decide per row against a
+    // driver-broadcast constant).
+    def toVec(a: Any): Array[java.lang.Double] = a match {
+      case null => null
+      case s: scala.collection.Seq[_] =>
+        s.map {
+          case null => null
+          case x: java.lang.Number => java.lang.Double.valueOf(x.doubleValue())
+        }.toArray
+    }
     val seedRows = base.select(col("v").as("cv"), xxhash64(col("id")).as("__h"))
       .orderBy("__h").limit(nLists)
       .collect()
-    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      vecField.copy(name = "cv")))
-    val seedData: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(seedRows.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i + 1, r.get(0))
-      }: _*)
-    var centroids = withCentNorm(spark0.createDataFrame(seedData, seedSchema))
+    var cents = new IvfCentroids(
+      Array.tabulate(seedRows.length)(_ + 1), seedRows.map(r => toVec(r.get(0))))
 
-    // all corpus x centroid scores (the broadcast assignment pass)
-    def scoreAll(cents: DataFrame): DataFrame =
-      base.crossJoin(broadcast(cents))
-        .select(col("id"), col("v"), col("nv"), col("cell"), pairCos.as("ccos"))
+    def probesCol(c: IvfCentroids, n: Int): Column =
+      Bridge.toColumn(IvfProbesF32(Bridge.toExpression(col("v")), c, n))
+    // inverted-list assignment == first probe (the orderings agree on
+    // element 0 for every tie/null/NaN pattern — see IvfCentroids.probes)
+    def assignCol(c: IvfCentroids): Column = get(probesCol(c, 1), lit(0))
 
-    // Lloyd refinement: assign every vector to its nearest cell (max_by —
-    // no per-id Window), then move each cell to the mean of its members,
+    // Lloyd refinement: assign every vector to its nearest cell (per-row
+    // kernel, no shuffle), then move each cell to the mean of its members,
     // per-dimension (posexplode -> avg -> re-assemble ordered by dimension
-    // index); cells that lose every member simply disappear.
+    // index); cells that lose every member simply disappear. The <= nLists
+    // refined rows are re-collected into the next kernel table.
     for (_ <- 1 to refineIters) {
-      centroids = withCentNorm(scoreAll(centroids)
-        .groupBy("id")
-        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
-          first(col("v")).as("v"))
+      val refined = base
+        .select(assignCol(cents).as("cell"), col("v"))
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cell", "i").agg(avg("x").as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
         .select(col("cell"),
-          transform(col("sm"), s => s.getField("m").cast(FloatType)).as("cv")))
+          transform(col("sm"), s => s.getField("m").cast(FloatType)).as("cv"))
+        .collect()
+      cents = new IvfCentroids(
+        refined.map(_.getInt(0)), refined.map(r => toVec(r.get(1))))
     }
-
-    // ONE final scoring pass serves both sides: the argmax row per id is
-    // its inverted-list assignment, the top-nProbe rows are its probes
-    val scored = scoreAll(centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // inverted lists, degenerate cells down-sampled to ~maxList (list-side
     // only: every query keeps its answer, the join stays queries x maxList)
-    val lists0 = scored.groupBy("id")
-      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
-        first(col("v")).as("v"), first(col("nv")).as("nv"))
-    val lists = downsampleHeavyKeys(lists0, "cell", "id", maxList)
+    val lists = downsampleHeavyKeys(
+        base.select(assignCol(cents).as("cell"), col("id"), col("v"), col("nv")),
+        "cell", "id", maxList)
       .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"),
         col("nv").as("ncv"))
 
-    // probe: every row queries its nProbe nearest cells (per-query Window
-    // over nLists centroid scores — bounded, not a hot key)
-    val probed = scored
-      .withColumn("__pr", row_number().over(Window.partitionBy("id")
-        .orderBy(col("ccos").desc, col("cell").asc)))
-      .where(col("__pr") <= nProbe)
-      .select(col("id").as("query_id"), col("v"), col("nv"), col("cell"))
+    // probe: every row queries its nProbe nearest cells — per-row kernel
+    // output exploded, no Window, no scored intermediate
+    val probed = base.select(col("id").as("query_id"), col("v"), col("nv"),
+      explode(probesCol(cents, nProbe)).as("cell"))
 
     // no dedup needed: a candidate lives in exactly ONE cell (argmax
     // assignment), so a (query, cand) pair arises through at most one of
-    // the query's probed cells — a distinct() here would shuffle the whole
-    // ~nProbe x n^1.5 scored intermediate a second time for nothing
+    // the query's probed cells
     val pairs = probed.join(lists, Seq("cell"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id").as("cand_id"), pairCos.as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     val out = pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-    Dedup.materializeAndRelease(out, base, scored)
+    Dedup.materializeAndRelease(out, base)
   }
 }

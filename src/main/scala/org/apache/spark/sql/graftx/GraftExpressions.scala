@@ -295,3 +295,52 @@ case class BucketByCuts(child: Expression, cuts: Array[Long])
   override protected def withNewChildInternal(newChild: Expression): BucketByCuts =
     copy(child = newChild)
 }
+
+/** `ivf_probes_f32(v)` — the `nProbe` nearest IVF cells of a vector against
+  * a driver-built centroid table ([[graft.functions.IvfCentroids]], bounded
+  * by the nLists constant), ordered exactly as
+  * row_number() OVER (ORDER BY ccos DESC, cell ASC) over the old
+  * corpus x centroid cross join; element 0 doubles as the inverted-list
+  * assignment (== max_by(cell, struct(ccos, -cell))). Replaces the
+  * n x nLists crossJoin -> groupBy(id)/Window pair with ONE codegen'd pass
+  * per row: no exchange carries the vectors to score the centroids, the
+  * per-id Window sort disappears, and the scored intermediate (and its
+  * cache) cease to exist. Never null: a NULL vector ranks every ccos null,
+  * which orders cells ascending — the exact Window behavior.
+  */
+case class IvfProbesF32(child: Expression,
+                        cents: graft.functions.IvfCentroids, nProbe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "ivf_probes_f32"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    cents.probes(
+      if (v == null) null else v.asInstanceOf[ArrayData], isFloat, nProbe)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val centsRef = ctx.addReferenceObj("ivfCents", cents,
+      classOf[graft.functions.IvfCentroids].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $centsRef.probes(${c.isNull} ? null : ${c.value}, $isFloat, $nProbe);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbesF32 =
+    copy(child = newChild)
+}

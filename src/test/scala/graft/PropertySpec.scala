@@ -28,6 +28,53 @@ class PropertySpec extends AnyFunSuite {
     assert(produced > 0, "generator produced no values")
   }
 
+  // -- sketch-kernel tokenizer parity ------------------------------------
+
+  test("byte-level tokenizer parity: kernel sketches == regex-split reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // the REFERENCE path the fast tokenizer replaced: UTF8String.trim then
+    // regex split("\\s+", -1), voting/hashing identical to the kernels
+    val ws = UTF8String.fromString("\\s+")
+    def refTokens(str: String): Array[UTF8String] = {
+      val t = UTF8String.fromString(str).trim()
+      if (t.numBytes == 0) Array.empty[UTF8String] else t.split(ws, -1)
+    }
+    def refSimhash(str: String): Long = {
+      val votes = new Array[Int](64)
+      refTokens(str).foreach { tok =>
+        val h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
+        var j = 0
+        while (j < 64) { votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+      }
+      var fp = 0L; var j = 0
+      while (j < 64) { if (votes(j) > 0) fp |= 1L << j; j += 1 }
+      fp
+    }
+    // whitespace-heavy alphabet incl. every \s byte, multi-byte chars and
+    // a lone surrogate (encodes as replacement-adjacent bytes)
+    val alphabet = Gen.oneOf[Char](' ', '\t', '\n', 0x0B.toChar, '\f', '\r',
+      'a', 'b', 'Z', '9', '\u00e9', '\u4e2d', '\ud83d'.toChar)
+    val strGen = Gen.listOf(alphabet).map(_.mkString)
+    forAllN(strGen, 500) { str =>
+      val fast = graft.functions.SketchKernels.simhash64(UTF8String.fromString(str))
+      assert(fast == refSimhash(str), s"simhash diverged on ${str.map(_.toInt).mkString(",")}")
+      val fastSig = graft.functions.SketchKernels.minhashSig(UTF8String.fromString(str), 3, 8)
+      // minhash reference: shingle over refTokens with concatWs, like the kernel
+      val toks = refTokens(str)
+      val mins = Array.fill(8)(Long.MaxValue)
+      def add(parts: Array[UTF8String]): Unit = {
+        val sh = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+        val base = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+        var i = 0
+        while (i < 8) { val v = XXH64.hashInt(i, base); if (v < mins(i)) mins(i) = v; i += 1 }
+      }
+      if (toks.length <= 3) add(toks)
+      else { var i = 0; while (i + 3 <= toks.length) { add(java.util.Arrays.copyOfRange(toks, i, i + 3)); i += 1 } }
+      assert(fastSig.toSeq == mins.toSeq, s"minhash diverged on ${str.map(_.toInt).mkString(",")}")
+    }
+  }
+
   // -- sanitization -------------------------------------------------------
 
   test("sanitize is idempotent: sanitize(sanitize(x)) == sanitize(x)") {
