@@ -39,13 +39,19 @@ object VectorOps {
   def bruteForceTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // norms computed once per side before the cross join (one dot per pair
+    // instead of three; the zero guard stays on the norm product, so the
+    // scores match cosine() bit-for-bit)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     import org.apache.spark.sql.expressions.Window
+    val d = col("qn") * col("cn")
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        when(d === 0.0, lit(0.0)).otherwise(dot(col("qv"), col("cv")) / d).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -118,16 +124,35 @@ object VectorOps {
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, nPlanes: Int = 8, maxBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted + materialized eagerly: the frame feeds BOTH join sides and
+    // the down-sampler's bucket-size aggregation — lazily each of the three
+    // would recompute the scan + bucket kernel (and AQE materializes their
+    // exchanges concurrently, so no one fills the cache for the others).
+    // Released by materializeAndRelease once the (cap-bounded) result is
+    // computed, same contract as the minhash/simhash/IVF paths.
+    // norms ride along from the single bucketing pass: scoring a pair then
+    // costs ONE dot product instead of three (cosine() re-derives both
+    // norms per pair). The zero guard stays on the norm PRODUCT — exactly
+    // cosine()'s `when(norm(a)*norm(b) === 0, 0)` semantics, underflow
+    // included — so the scores are bit-identical.
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+        norm(col(vecCol)).as("nv"),
+        lshBucket(col(vecCol), nPlanes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bucketed.count()
     val withB = downsampleHeavyKeys(bucketed, "bucket", "id", maxBucket)
-    val a = withB.select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val b = withB.select(col("id").as("cand_id"), col("v").as("cv"), col("bucket"))
+    val a = withB.select(col("id").as("query_id"), col("v").as("qv"),
+      col("nv").as("qn"), col("bucket"))
+    val b = withB.select(col("id").as("cand_id"), col("v").as("cv"),
+      col("nv").as("cn"), col("bucket"))
+    val d = col("qn") * col("cn")
     val scored = a.join(b, Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("cand_id"),
+        when(d === 0.0, lit(0.0)).otherwise(dot(col("qv"), col("cv")) / d).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val out = scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    Dedup.materializeAndRelease(out, bucketed)
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path next to
