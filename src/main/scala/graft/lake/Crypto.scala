@@ -20,7 +20,7 @@ import org.apache.parquet.crypto.keytools.KmsClient
   *
   * Key model (envelope encryption):
   *   - a table-level MASTER key (256-bit, base64) supplied at runtime via
-  *     the session conf `spark.graft.encryption.master.key` — NEVER stored
+  *     the session conf `spark.graft.encryption.master.key.secret` — NEVER stored
   *     in table metadata or on disk next to the data;
   *   - Parquet's PropertiesDrivenCryptoFactory generates random data
   *     encryption keys per file/module and asks [[GraftKmsClient]] to WRAP
@@ -38,13 +38,19 @@ import org.apache.parquet.crypto.keytools.KmsClient
   */
 object Crypto {
 
-  /** Session conf carrying the base64 master key. */
-  val SessionKeyConf = "spark.graft.encryption.master.key"
+  /** Session conf carrying the base64 master key. Both conf names end in
+    * ".secret" so Spark's DEFAULT redaction regex
+    * ((?i)secret|password|token|access[.]key) masks the key material in
+    * `SET -v`, the UI Environment/SQL tabs, debug conf dumps and persisted
+    * event logs — a name outside that pattern would print the raw key at
+    * rest in exactly the places encryption-at-rest is meant to protect.
+    */
+  val SessionKeyConf = "spark.graft.encryption.master.key.secret"
 
   /** Hadoop/datasource property the KMS client reads key material from
     * (propagated per-job via datasource options, never set globally).
     */
-  val MasterKeysProp = "graft.encryption.master.keys"
+  val MasterKeysProp = "graft.encryption.master.keys.secret"
 
   val MasterKeyId = "graft-master"
 

@@ -275,14 +275,20 @@ class LakeTable(val root: String, val spark: SparkSession) {
     // footer statistics, and the event-time min/max per file is what lets
     // a row-retention DELETE prune to the files that can contain expired
     // rows instead of reading the whole table every cadence tick.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Set via a depth-counted push/pop (parquet offers no per-write option
+    // for this key — prepareWrite overwrites the job conf from SQLConf),
+    // so the session's own value is RESTORED once the write (or the last
+    // of several concurrent lake writes) finishes: a library call must not
+    // permanently switch the user's unrelated parquet writes to MICROS.
+    LakeTable.pushMicrosTimestampConf(spark)
     // zstd: ~2x smaller files than snappy for this text-heavy schema —
     // scans read fewer bytes and maintenance I/O shifts toward CPU, which
     // scales with executors while disks don't. For an encrypted table the
     // PME write options ride along (per-job datasource options — never a
     // global conf, so unrelated writes in the session stay plaintext).
-    df.write.mode("overwrite").options(dataWriteOptions)
+    try df.write.mode("overwrite").options(dataWriteOptions)
       .option("compression", "zstd").parquet(staging.toString)
+    finally LakeTable.popMicrosTimestampConf(spark)
     Files.createDirectories(dataDir)
     val conf = spark.sessionState.newHadoopConf()
     if (encrypted) Crypto.configureRead(conf, masterKeyB64)
@@ -498,6 +504,35 @@ class LakeTable(val root: String, val spark: SparkSession) {
 
 object LakeTable {
   val DefaultEntriesPerManifest = 1000
+
+  private val TsTypeKey = "spark.sql.parquet.outputTimestampType"
+  private val tsConfLock = new Object
+  private var tsConfDepth = 0
+  private var tsConfPrev: String = _
+
+  /** Depth-counted session-conf override for the staging write's
+    * TIMESTAMP_MICROS requirement: maintenance runs lake writes from
+    * several threads (DeleteFrom/Compaction groups), so a naive
+    * save/restore would race and could leave the OVERRIDE behind as the
+    * "saved" value. The outermost push saves the user's value, the last
+    * pop restores it. (While any lake write is in flight the session-wide
+    * value is MICROS — unavoidable for a key parquet only reads from
+    * SQLConf — but between lake writes the user's setting is back.)
+    */
+  private[lake] def pushMicrosTimestampConf(spark: SparkSession): Unit =
+    tsConfLock.synchronized {
+      if (tsConfDepth == 0) {
+        tsConfPrev = spark.conf.get(TsTypeKey)
+        spark.conf.set(TsTypeKey, "TIMESTAMP_MICROS")
+      }
+      tsConfDepth += 1
+    }
+
+  private[lake] def popMicrosTimestampConf(spark: SparkSession): Unit =
+    tsConfLock.synchronized {
+      tsConfDepth -= 1
+      if (tsConfDepth == 0) spark.conf.set(TsTypeKey, tsConfPrev)
+    }
 
   /** Age gate splitting crash-orphan snap files between the two mechanisms
     * that may touch them, so they can never race on the same file:

@@ -49,7 +49,8 @@ object DeleteFrom {
   final case class Result(snapshot: Snapshot, deletedRows: Long,
                           touchedFiles: Int, carriedFiles: Long,
                           resumedGroups: Int,
-                          candidateFiles: Long = 0L, totalFiles: Long = 0L)
+                          candidateFiles: Long = 0L, totalFiles: Long = 0L,
+                          prunedCandidateFiles: Long = 0L)
 
   def run(table: LakeTable, jobId: String,
           predicateSql: String,
@@ -120,7 +121,8 @@ object DeleteFrom {
             .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         // counts sidecar FIRST, plan second: a plan on disk implies its
         // counts exist, so resume never trusts a half-planned job
-        writeCounts(table, jobId, predSql, perFile)
+        writeCounts(table, jobId, predSql, perFile,
+          prunedCandidates = pruned.entries.size.toLong)
         val byPath = pruned.entries.map(e => e.file.path -> e.file).toMap
         val withVictims = perFile.keys.toVector.sorted.map(byPath(_))
         val groups = Clustering.greedyGroups(
@@ -209,7 +211,9 @@ object DeleteFrom {
         "touched_files" -> removed.size.toString))
     Ledger.markCommitted(table, jobId, "delete", snap.id)
     Result(snap, nDeleted, removed.size, carried, resumedCount.get(),
-      candidateFiles = counts.size.toLong, totalFiles = totalFiles)
+      candidateFiles = counts.size.toLong, totalFiles = totalFiles,
+      prunedCandidateFiles = readPrunedCandidates(table, jobId)
+        .getOrElse(counts.size.toLong))
   }
 
   /** The predicate a previously PLANNED (possibly crashed) invocation of
@@ -226,9 +230,15 @@ object DeleteFrom {
   // ---- per-file victim counts sidecar (atomic, beside the ledger plan) --
 
   private def writeCounts(table: LakeTable, jobId: String, predSql: String,
-                          counts: Map[String, Long]): Unit = {
+                          counts: Map[String, Long],
+                          prunedCandidates: Long): Unit = {
     val o = MetaJson.mapper.createObjectNode()
     o.put("predicate", predSql)
+    // the stats-prune candidate set (files the counting pass had to SCAN)
+    // is recorded beside the matching-file counts: candidateFiles alone
+    // (files that CONTAIN victims) overstated prune effectiveness in the
+    // bench report and hid the clean-file scan cost
+    o.put("pruned_candidates", prunedCandidates)
     val c = o.putObject("counts")
     counts.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
     val dir = table.ledgerDir.resolve(jobId)
@@ -238,6 +248,13 @@ object DeleteFrom {
     Files.move(tmp, dir.resolve("delete-victims.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readPrunedCandidates(table: LakeTable, jobId: String): Option[Long] = {
+    val p = table.ledgerDir.resolve(jobId).resolve("delete-victims.json")
+    if (!Files.exists(p)) None
+    else Option(MetaJson.read(Files.readString(p)).get("pruned_candidates"))
+      .map(_.asLong)
   }
 
   private def readCounts(table: LakeTable, jobId: String): Option[Map[String, Long]] = {

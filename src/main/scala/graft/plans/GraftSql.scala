@@ -80,10 +80,33 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case _ => None
   }
 
+  /** Qualifiers that may prefix a column of the DELETE target: the alias
+    * (if any) and the relation name itself — both stripped from the
+    * condition before it is re-rendered to SQL, because DeleteFrom.run
+    * resolves the predicate against the BARE table schema (an aliased
+    * `DELETE FROM transcripts t WHERE t.conv_id = ...` otherwise fails
+    * analysis on every reference).
+    */
+  private def stripTargetQualifier(cond: Expression,
+                                   target: LogicalPlan): Expression = {
+    val quals: Set[Seq[String]] = (target match {
+      case SubqueryAlias(ident, u: UnresolvedRelation) =>
+        Seq(Seq(ident.name), u.multipartIdentifier)
+      case u: UnresolvedRelation => Seq(u.multipartIdentifier)
+      case _ => Seq.empty
+    }).map(_.map(_.toLowerCase(java.util.Locale.ROOT))).toSet
+    cond.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          quals(a.nameParts.init.map(_.toLowerCase(java.util.Locale.ROOT))) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+  }
+
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case DeleteFromTable(target, cond) =>
       targetName(target).flatMap(GraftSqlRegistry.lookup(session, _)) match {
-        case Some(root) => GraftDeleteCommand(root, cond.sql)
+        case Some(root) =>
+          GraftDeleteCommand(root, stripTargetQualifier(cond, target).sql)
         case None => plan
       }
     case m @ MergeIntoTable(target, source, cond,
@@ -111,7 +134,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case And(a, b) =>
         for { x <- keyEqualities(a); y <- keyEqualities(b) } yield x ++ y
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) &&
+            // the two sides must come from DIFFERENT relations:
+            // `ON t.conv_id = t.conv_id` names the target twice and would
+            // otherwise slip through the shape gate
+            a.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) !=
+              b.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) =>
         Some(Set(a.nameParts.last.toLowerCase(java.util.Locale.ROOT)))
       case _ => None
     }

@@ -47,7 +47,8 @@ object RetentionAtScaleBench {
     val line =
       s"""{"rows":$rows,"files":${files.size},""" +
         s""""expired_rows":${res.deletedRows},"touched_files":${res.touchedFiles},""" +
-        s""""candidate_files":${res.candidateFiles},"carried_files":${res.carriedFiles},""" +
+        s""""candidate_files":${res.prunedCandidateFiles},""" +
+        s""""matching_files":${res.candidateFiles},"carried_files":${res.carriedFiles},""" +
         s""""fraction":$fraction,"sec":$sec}"""
     println(line)
 
@@ -56,7 +57,8 @@ object RetentionAtScaleBench {
       f"$rows turns, ${files.size} files, local[$cpus])\n\n")
     md.append(f"`ts < min + ${fraction * 100}%.0f%%-of-span` deleted " +
       f"${res.deletedRows} rows touching ${res.touchedFiles} of ${files.size} " +
-      f"files (${res.candidateFiles} candidates after the ts-stat prune; " +
+      f"files (${res.prunedCandidateFiles} candidates after the ts-stat prune, " +
+      f"${res.candidateFiles} actually containing victims; " +
       f"${res.carriedFiles} carried untouched) in $sec%.1f s — " +
       "the tick reads and rewrites only the event-time slab holding expired " +
       "rows; at 10^12 turns the same plan touches the same FRACTION, not " +

@@ -264,7 +264,9 @@ class DedupSpec extends AnyFunSuite {
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
           planText(s.relation.cachedPlan)
       }
-      (p.toString +: nested).mkString("\n")
+      // an AdaptiveSparkPlan prints BOTH its final and initial plans; keep
+      // only the final section so each operator is counted once
+      (p.toString.split("== Initial Plan ==")(0) +: nested).mkString("\n")
     }
     def windows(df: org.apache.spark.sql.DataFrame): Int =
       "(?m)^\\s*[+:*-]*\\s*Window ".r

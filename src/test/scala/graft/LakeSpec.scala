@@ -30,6 +30,18 @@ class LakeSpec extends AnyFunSuite {
 
   private def synth(nConvs: Int) = TranscriptSynth.turns(spark, nConvs, seed = 42L)
 
+  test("lake writes restore the session's parquet timestamp type") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "INT96")
+      val t = LakeTable.create(spark, tmpTable("tsconf"), TranscriptSynth.schema)
+      t.append(synth(5), "init")
+      assert(spark.conf.get(key) == "INT96",
+        "a lake write must not permanently switch the session's timestamp type")
+    } finally spark.conf.set(key, before)
+  }
+
   test("append + scan roundtrip preserves every turn") {
     val t = LakeTable.create(spark, tmpTable("roundtrip"), TranscriptSynth.schema)
     val data = synth(50)

@@ -296,6 +296,42 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("aliased SQL DELETE resolves: alias qualifiers are stripped") {
+    val t = freshTable("plans-sqldelete-alias", 40, 4)
+    GraftPlans.registerTable(spark, t, "sqldel_alias_t")
+    val inRange = spark.sql(
+      """SELECT count(*) FROM sqldel_alias_t
+        |WHERE conv_id BETWEEN 'c00000005' AND 'c00000009'""".stripMargin)
+      .head().getLong(0)
+    assert(inRange > 0)
+    val res = spark.sql(
+      """DELETE FROM sqldel_alias_t t
+        |WHERE t.conv_id BETWEEN 'c00000005' AND 'c00000009'""".stripMargin)
+    assert(res.head().getLong(0) == inRange,
+      "an aliased DELETE must delete exactly the predicate's rows")
+    assert(spark.sql(
+      """SELECT count(*) FROM sqldel_alias_t
+        |WHERE conv_id BETWEEN 'c00000005' AND 'c00000009'""".stripMargin)
+      .head().getLong(0) == 0)
+  }
+
+  test("MERGE rejects same-side ON equalities (t.k = t.k)") {
+    import spark.implicits._
+    val t = freshTable("plans-sqlmerge-sameside", 5, 1)
+    GraftPlans.registerTable(spark, t, "sqlmerge_ss_t")
+    Seq(("c00000001", "0", "user", "x", "", 0L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "_seq")
+      .createOrReplaceTempView("sqlmerge_ss_src")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """MERGE INTO sqlmerge_ss_t t USING sqlmerge_ss_src s
+          |ON t.conv_id = t.conv_id AND t.turn_idx = t.turn_idx
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("keyed upsert"))
+  }
+
   test("SQL MERGE INTO statement upserts with non-empty-wins semantics") {
     import spark.implicits._
     val t = freshTable("plans-sqlmerge", 30, 3)
