@@ -186,7 +186,6 @@ object VectorOps {
       k: Int, nLists: Int = 64, nProbe: Int = 4,
       refineIters: Int = 1, maxList: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
     import org.apache.spark.sql.graftx.{Bridge, IvfProbesF32}
     // norms computed ONCE per row — the final pair scoring then costs one
     // dot product per (query, candidate) instead of re-deriving both norms
@@ -234,17 +233,26 @@ object VectorOps {
     // index); cells that lose every member simply disappear. The <= nLists
     // refined rows are re-collected into the next kernel table.
     for (_ <- 1 to refineIters) {
+      // one shuffle: per-(cell, dimension) means; the re-assembly into
+      // centroid vectors happens DRIVER-side on <= nLists x dim rows
+      // (bounded by the nLists constant and the embedding dimension, never
+      // by data size) — the old second groupBy(cell) +
+      // collect_list/array_sort exchange produced exactly these rows first
       val refined = base
         .select(assignCol(cents).as("cell"), col("v"))
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cell", "i").agg(avg("x").as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
-        .select(col("cell"),
-          transform(col("sm"), s => s.getField("m").cast(FloatType)).as("cv"))
         .collect()
-      cents = new IvfCentroids(
-        refined.map(_.getInt(0)), refined.map(r => toVec(r.get(1))))
+      val byCell = refined.groupBy(_.getInt(0)).toArray.map { case (cell, rows) =>
+        // means sorted by dimension index; cast to float like the Column
+        // shape's cast(FloatType) (same double -> float rounding)
+        val vec = rows.sortBy(_.getInt(1)).map { r =>
+          if (r.isNullAt(2)) null
+          else java.lang.Double.valueOf(r.getDouble(2).toFloat.toDouble)
+        }
+        (cell, vec)
+      }
+      cents = new IvfCentroids(byCell.map(_._1), byCell.map(_._2))
     }
 
     // inverted lists, degenerate cells down-sampled to ~maxList (list-side
