@@ -87,13 +87,20 @@ object BenchExtra {
     spark.sparkContext.addSparkListener(acct)
 
     val qs = if (names.isEmpty) SparkEntry.queries.keys.toVector.sorted else names.toVector
+    def timedFixture(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"FIXTUREX $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
     // lake fixtures (untimed, exactly like Bench's fixture phase)
     if (qs.exists(q => Set("q19", "q20", "q21", "q29", "q35").exists(q.startsWith)))
-      LakeFixtures.forDir(spark, sfDir)
+      timedFixture("forDir") { LakeFixtures.forDir(spark, sfDir); () }
     if (qs.exists(q => Set("q34", "q37", "q38").exists(q.startsWith)))
-      LakeFixtures.dedupForDir(spark, sfDir)
-    if (qs.exists(_.startsWith("q36"))) LakeFixtures.dedupConvForDir(spark, sfDir)
-    if (qs.exists(_.startsWith("q39"))) LakeFixtures.encryptedForDir(spark, sfDir)
+      timedFixture("dedupForDir") { LakeFixtures.dedupForDir(spark, sfDir); () }
+    if (qs.exists(_.startsWith("q36")))
+      timedFixture("dedupConvForDir") { LakeFixtures.dedupConvForDir(spark, sfDir); () }
+    if (qs.exists(_.startsWith("q39")))
+      timedFixture("encryptedForDir") { LakeFixtures.encryptedForDir(spark, sfDir); () }
 
     for (name <- qs) {
       explainDir.foreach { dir =>
