@@ -457,6 +457,66 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(q1 == q2, "down-sampling is deterministic")
   }
 
+  test("IvfProbesF32 matches the Window/max_by formulation on edge vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftx.{Bridge, IvfProbesF32}
+    import org.apache.spark.sql.expressions.Window
+    // edge-case corpus: normal, zero-norm, NaN element, null element,
+    // null vector, negative-zero products
+    val rows: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f, 3f)),
+      (2L, Seq[java.lang.Float](0f, 0f, 0f)),
+      (3L, Seq[java.lang.Float](Float.NaN, 1f, 1f)),
+      (4L, Seq[java.lang.Float](1f, null, 2f)),
+      (5L, null),
+      (6L, Seq[java.lang.Float](-1f, -2f, -3f)))
+    val df = rows.toDF("id", "v")
+    // centroid table shares the same pathologies
+    val centRows: Seq[(Int, Seq[java.lang.Float])] = Seq(
+      (1, Seq[java.lang.Float](1f, 0f, 0f)),
+      (2, Seq[java.lang.Float](0f, 0f, 0f)),        // zero norm -> ccos 0.0
+      (3, Seq[java.lang.Float](null, 1f, 1f)),      // null element -> null norm
+      (4, Seq[java.lang.Float](-1f, -2f, -3f)))
+    def toVec(s: Seq[java.lang.Float]): Array[java.lang.Double] =
+      if (s == null) null
+      else s.map(f => if (f == null) null
+        else java.lang.Double.valueOf(f.doubleValue())).toArray
+    val cents = new IvfCentroids(centRows.map(_._1).toArray,
+      centRows.map(r => toVec(r._2)).toArray)
+    for (nProbe <- Seq(1, 2, 4)) {
+      val fast = df.select(col("id"), Bridge.toColumn(IvfProbesF32(
+          Bridge.toExpression(col("v")), cents, nProbe)).as("probes"))
+        .as[(Long, Seq[Int])].collect().toMap
+      // the replaced formulation: crossJoin + pairCos + per-id Window
+      val cdf = centRows.toDF("cell", "cv")
+      val scored = df.crossJoin(cdf)
+        .select(col("id"), col("cell"),
+          (when(VectorOps.norm(col("v")) === 0.0 ||
+              VectorOps.norm(col("cv")) === 0.0, lit(0.0))
+            .otherwise(VectorOps.dot(col("v"), col("cv")) /
+              (VectorOps.norm(col("v")) * VectorOps.norm(col("cv")))))
+            .as("ccos"))
+      val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cell").asc)
+      val ref = scored.withColumn("pr", row_number().over(w))
+        .where(col("pr") <= nProbe)
+        .select(col("id"), col("pr"), col("cell"))
+        .as[(Long, Int, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      rows.map(_._1).foreach { id =>
+        assert(fast(id) == ref(id), s"nProbe=$nProbe id=$id: " +
+          s"kernel ${fast(id)} vs window ${ref(id)}")
+      }
+      // the first probe IS the max_by assignment
+      val assign = scored.groupBy("id")
+        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+        .as[(Long, Int)].collect().toMap
+      rows.map(_._1).foreach { id =>
+        assert(fast(id).head == assign(id),
+          s"id=$id: probes.head ${fast(id).head} != max_by ${assign(id)}")
+      }
+    }
+  }
+
   test("ivfTopK: planted copies always retrieved; clustered top-1 matches brute force") {
     import spark.implicits._
     // three well-separated clusters with deterministic jitter
