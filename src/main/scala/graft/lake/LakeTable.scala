@@ -309,11 +309,12 @@ class LakeTable(val root: String, val spark: SparkSession) {
           minTsUs = st.minTsUs, maxTsUs = st.maxTsUs)
     }
     deleteRecursively(staging)
-    // An ACTIVE sketch store rides along with every write: the rows are
-    // already hot here, so signatures cost one extra pass over this write's
-    // output instead of a later full re-read — and pure rewrites
-    // (compaction/clustering/delete survivors) keep the table sketch-
-    // covered with zero ensure()-time compute.
+    // An ACTIVE sketch store rides along with every write: computeBatch
+    // re-reads the just-written parquet (page-cache hot, not in-memory
+    // hot), so signatures cost one extra cached-read pass over this
+    // write's output instead of a later cold full re-read — and pure
+    // rewrites (compaction/clustering/delete survivors) keep the table
+    // sketch-covered with zero ensure()-time compute.
     graft.maintain.Sketches.sketchOnWrite(this, entries, s"$safeTag-$unique")
   }
 
