@@ -20,6 +20,13 @@ object Sanitize {
   def stripWs(c: Column): Column =
     regexp_replace(c, "^\\s+|\\s+$", "")
 
+  /** Driver-side scalar twin of [[stripWs]] — the SAME Java regex Spark's
+    * regexp_replace applies, so normalized keys computed on the driver
+    * (e.g. the transposer's pivot key order) match the Column path exactly.
+    */
+  def stripWsScala(s: String): String =
+    if (s == null) "" else s.replaceAll("^\\s+|\\s+$", "")
+
   /** Escape one string cell. Null-safe: null -> "". */
   def sanitizeCell(c: Column): Column = {
     val t = stripWs(coalesce(c, lit("")))

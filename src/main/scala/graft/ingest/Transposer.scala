@@ -42,12 +42,16 @@ object Transposer {
 
   /** One drop's content -> (file, line_no=csv row index, key, val). */
   def contentToKv(spark: SparkSession, file: String, content: String,
-                  dialect: Dialect): DataFrame = {
+                  dialect: Dialect): DataFrame =
+    kvFromRows(spark, file,
+      StrictCsv.parse(content, dialect.delimiter, dialect.quote, strict = false))
+
+  private def kvFromRows(spark: SparkSession, file: String,
+                         rows: Vector[Vector[String]]): DataFrame = {
     import spark.implicits._
-    val raw = StrictCsv.parse(content, dialect.delimiter, dialect.quote, strict = false)
-      .zipWithIndex.collect { case (r, i) if r.nonEmpty =>
-        (file, i.toLong, r.head, if (r.length > 1) r(1) else null)
-      }
+    val raw = rows.zipWithIndex.collect { case (r, i) if r.nonEmpty =>
+      (file, i.toLong, r.head, if (r.length > 1) r(1) else null)
+    }
     kvColumns(raw.toDF("file", "line_no", "k", "v"))
   }
 
@@ -74,8 +78,16 @@ object Transposer {
   /** Transpose pre-parsed (file, line_no, key, val) rows. Returns one row
     * per (file, record) with pivoted key columns in first-seen order
     * (union across files; per-file missing keys -> null).
+    *
+    * `keyOrderHint`: the caller may supply the first-seen key order when it
+    * already knows it (the single-drop path parses on the driver, so the
+    * order is free), skipping the collect job the pivot otherwise needs.
+    * When computed here, it aggregates over `parsed` directly — the
+    * record-boundary windows only ADD columns, so running them inside the
+    * key-order job would be wasted work.
     */
-  def transposeKv(parsed: DataFrame): DataFrame = {
+  def transposeKv(parsed: DataFrame,
+                  keyOrderHint: Option[Seq[String]] = None): DataFrame = {
     val w = Window.partitionBy("file").orderBy("line_no")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withRec = parsed
@@ -84,8 +96,9 @@ object Transposer {
         greatest(sum(when(col("key") === col("anchor"), 1).otherwise(0)).over(w) - 1, lit(0)))
 
     // First-seen key order (across the whole input) for output column order.
-    val keyOrder = withRec.groupBy("key").agg(min("line_no").as("first_line"))
-      .orderBy("first_line").select("key").collect().map(_.getString(0)).toSeq
+    val keyOrder = keyOrderHint.getOrElse(
+      parsed.groupBy("key").agg(min("line_no").as("first_line"))
+        .orderBy("first_line").select("key").collect().map(_.getString(0)).toSeq)
 
     val pivoted = withRec.groupBy(col("file"), col("rec_id"))
       .pivot("key", keyOrder)
@@ -96,9 +109,21 @@ object Transposer {
 
   /** Single-drop convenience mirroring `parse_vertical_csv(content, dialect)`:
     * returns (records DataFrame without bookkeeping cols, fields first-seen).
+    * The content is parsed ONCE on the driver; the pivot's key order is the
+    * first-seen order of normalized keys over those same rows (identical to
+    * the groupBy(min(line_no)) order — line_no IS the row index), so no
+    * Spark job is needed to discover it.
     */
   def parseVerticalCsv(spark: SparkSession, content: String, dialect: Dialect): (DataFrame, Seq[String]) = {
-    val out = transposeKv(contentToKv(spark, "inline", content, dialect))
+    val rows = StrictCsv.parse(content, dialect.delimiter, dialect.quote, strict = false)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { r =>
+      if (r.nonEmpty) {
+        val k = Sanitize.stripWsScala(if (r.head == null) "" else r.head)
+        if (k.nonEmpty) seen += k
+      }
+    }
+    val out = transposeKv(kvFromRows(spark, "inline", rows), Some(seen.toSeq))
     val fields = out.columns.filterNot(c => c == "file" || c == "rec_id").toSeq
     (out.drop("file", "rec_id"), fields)
   }
